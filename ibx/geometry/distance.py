@@ -1,0 +1,174 @@
+"""Distance functions and approximate surface distance fields (host side).
+
+Counterpart of reference ``src/mesher.jl:27-122`` (analytic refinement-region
+primitives) and ``src/mesher.jl:736-801`` (KDTree distance field + exact
+projection among candidates). All callables take float[Q, nd] point batches
+and return float[Q] distances — the interface consumed by surface refinement
+and octree generation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from .refine import project_on_simplices, refine_to_length
+from .stereolitography import (
+    Stereolitography,
+    centers_and_normals,
+    simplex_coordinates,
+)
+
+
+@dataclasses.dataclass
+class Box:
+    """Exterior distance to an axis-aligned box (reference ``src/mesher.jl:27-46``)."""
+
+    origin: np.ndarray
+    widths: np.ndarray
+
+    def __call__(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        o = np.asarray(self.origin, dtype=np.float64)
+        w = np.asarray(self.widths, dtype=np.float64)
+        d = np.maximum(np.maximum(o - pts, pts - (o + w)), 0.0)
+        return np.sqrt((d ** 2).sum(axis=1))
+
+
+@dataclasses.dataclass
+class Ball:
+    """Exterior distance to a ball (reference ``src/mesher.jl:58-76``)."""
+
+    center: np.ndarray
+    radius: float
+
+    def __call__(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        c = np.asarray(self.center, dtype=np.float64)
+        return np.maximum(
+            0.0, np.sqrt(((pts - c) ** 2).sum(axis=1)) - self.radius
+        )
+
+
+@dataclasses.dataclass
+class Line:
+    """Distance to a segment (reference ``src/mesher.jl:94-122``)."""
+
+    p1: np.ndarray
+    p2: np.ndarray
+
+    def __call__(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        p1 = np.asarray(self.p1, dtype=np.float64)
+        p2 = np.asarray(self.p2, dtype=np.float64)
+        m = p2 - p1
+        xi = ((pts - p1) @ m) / (m @ m)
+        xi = np.clip(xi, 0.0, 1.0)
+        proj = p1 + xi[:, None] * m
+        return np.sqrt(((pts - proj) ** 2).sum(axis=1))
+
+
+class DistanceField:
+    """Approximate unsigned distance to a surface via a KDTree over simplex
+    centers, with exact projection among in-range candidates.
+
+    Reference ``src/mesher.jl:736-801``: ``__call__`` returns the
+    nearest-simplex-center distance (approximate); :meth:`projection` refines
+    by exact point-to-simplex projection over all candidates within radius R.
+    """
+
+    def __init__(self, stl: Stereolitography, *, h: float = 0.0,
+                 leaf_size: int = 25):
+        if h > 0.0:
+            stl = refine_to_length(stl, h)
+        self.stl = stl
+        self.centers, _ = centers_and_normals(stl)
+        self.tree = cKDTree(self.centers, leafsize=leaf_size)
+        self._coords = simplex_coordinates(stl)
+
+    def __call__(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float32))
+        d, _ = self.tree.query(pts, k=1, workers=-1)
+        return d
+
+    def projection(self, pts: np.ndarray, R: Optional[np.ndarray] = None):
+        """Exact projection of each point onto the surface.
+
+        R: per-point candidate search radius (0 / None disables the exact
+        pass, returning the nearest simplex center — matching the reference's
+        behavior for ``R <= d``). Returns (projections [Q, nd], distances [Q]).
+        """
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float32))
+        d, nearest = self.tree.query(pts, k=1, workers=-1)
+        proj = self.centers[nearest].copy()
+        dist = d.astype(np.float64)
+
+        if R is None:
+            return proj, dist.astype(np.float32)
+        R = np.broadcast_to(np.asarray(R, dtype=np.float64), (pts.shape[0],))
+        active = R > dist
+        if not np.any(active):
+            return proj, dist.astype(np.float32)
+
+        act_idx = np.nonzero(active)[0]
+        cand_lists = self.tree.query_ball_point(
+            pts[act_idx], R[act_idx], workers=-1
+        )
+        counts = np.fromiter((len(c) for c in cand_lists), dtype=np.int64,
+                             count=len(cand_lists))
+        if counts.sum() == 0:
+            return proj, dist.astype(np.float32)
+        flat_pt = np.repeat(act_idx, counts)
+        flat_simp = np.concatenate(
+            [np.asarray(c, dtype=np.int64) for c in cand_lists if len(c)]
+        )
+        cand_proj = project_on_simplices(
+            self._coords[flat_simp].astype(np.float64),
+            pts[flat_pt].astype(np.float64),
+        )
+        cand_d = np.sqrt(((cand_proj - pts[flat_pt]) ** 2).sum(axis=1))
+
+        # segment-min over candidates of the same point
+        better_d = dist.copy()
+        np.minimum.at(better_d, flat_pt, cand_d)
+        take = cand_d <= better_d[flat_pt] + 0.0
+        # among ties keep the first by overwriting in reverse order
+        proj_out = proj.astype(np.float64)
+        order = np.argsort(cand_d, kind="stable")[::-1]
+        sel = order[take[order]]
+        proj_out[flat_pt[sel]] = cand_proj[sel]
+        return proj_out.astype(np.float32), better_d.astype(np.float32)
+
+
+def refine_orderly(
+    surfaces: Sequence[Tuple[Stereolitography, float]],
+    *,
+    refinement_regions: Sequence[Tuple] = (),
+    ratio: float = 0.5,
+    growth_ratio: float = 2.0,
+    tolerance: float = 1e-7,
+):
+    """Refine surfaces finest-first; each refined surface becomes a
+    refinement region for the next (reference ``src/mesher.jl:878-918``).
+
+    surfaces: sequence of (stl, h). Returns DistanceFields in input order.
+    """
+    order = np.argsort([h for _, h in surfaces], kind="stable")
+    regions = [(df, href * ratio) for df, href in refinement_regions]
+    result = {}
+    for i in order:
+        stl, h = surfaces[i]
+        h = h * ratio
+        refined = refine_to_length(
+            stl, h,
+            tolerance=tolerance,
+            refinement_regions=regions,
+            growth_ratio=growth_ratio,
+        )
+        dfield = DistanceField(refined)
+        result[int(i)] = dfield
+        regions.append((dfield, h))
+    return [result[int(i)] for i in range(len(surfaces))]
