@@ -1,0 +1,81 @@
+"""Ghost-cell detection and surface projection (host side).
+
+Counterpart of reference ``src/ImmersedBoundary.jl:194-326``. Ghost cells are
+cells within ``ghost_layer_ratio`` circumdiameters of a boundary (the band
+straddles the wall — the distance field is unsigned); each gets an exact
+projection onto the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..geometry.distance import DistanceField
+
+
+def ghosts_and_projections_stl(
+    dfield: DistanceField,
+    centers: np.ndarray,
+    widths: np.ndarray,
+    *,
+    ghost_layer_ratio: float = 1.5,
+):
+    """Ghosts near an STL surface (reference ``src/ImmersedBoundary.jl:194-230``).
+
+    KDTree prescreen at 2x the band width, exact projection among candidates,
+    final mask at ``dist <= circumdiameter * ghost_layer_ratio``.
+    Returns (ghost_indices int64[G], projections float32[G, nd]).
+    """
+    diams = np.sqrt((widths.astype(np.float64) ** 2).sum(1))
+    approx = dfield(centers)
+    cand = np.nonzero(approx <= diams * ghost_layer_ratio * 2)[0]
+    if cand.size == 0:
+        return cand.astype(np.int64), np.zeros((0, centers.shape[1]), np.float32)
+    projs, dists = dfield.projection(
+        centers[cand], R=diams[cand] * ghost_layer_ratio * 2
+    )
+    mask = dists <= diams[cand] * ghost_layer_ratio
+    return cand[mask].astype(np.int64), projs[mask]
+
+
+def ghosts_and_projections_hcube(
+    faces: List[Tuple[int, bool]],
+    hcube_origin: np.ndarray,
+    hcube_widths: np.ndarray,
+    centers: np.ndarray,
+    widths: np.ndarray,
+    *,
+    ghost_layer_ratio: float = 1.5,
+):
+    """Ghosts near outer hypercube planes (reference
+    ``src/ImmersedBoundary.jl:258-305``).
+
+    ``faces``: list of (dim, front) plane selectors. Projection per cell is
+    the nearest selected plane point; a cell is a ghost if within the band of
+    ANY selected plane.
+    """
+    hcube_origin = np.asarray(hcube_origin, dtype=np.float64)
+    hcube_widths = np.asarray(hcube_widths, dtype=np.float64)
+    centers = np.asarray(centers, dtype=np.float64)
+    diams = np.sqrt((widths.astype(np.float64) ** 2).sum(1))
+
+    N = centers.shape[0]
+    best_d = np.full(N, np.inf)
+    projs = np.zeros_like(centers)
+    mask = np.zeros(N, dtype=bool)
+    for dim, front in faces:
+        plane = (
+            hcube_origin[dim] + hcube_widths[dim] if front else hcube_origin[dim]
+        )
+        p = centers.copy()
+        p[:, dim] = plane
+        d = np.abs(centers[:, dim] - plane)
+        better = d < best_d
+        best_d = np.where(better, d, best_d)
+        projs[better] = p[better]
+        mask |= d < diams * ghost_layer_ratio
+
+    ghosts = np.nonzero(mask)[0].astype(np.int64)
+    return ghosts, projs[ghosts].astype(np.float32)
