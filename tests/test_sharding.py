@@ -1,0 +1,114 @@
+"""Multi-device halo-exchange correctness on a virtual 8-device CPU mesh.
+
+The oracle: a sharded residual evaluation over P devices must match the
+single-partition evaluation bit-for-bit-ish (SURVEY.md §4).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ibx.geometry import Line, build_mesh, polyline
+from ibx.ops import operators as ops
+from ibx.parallel import ShardedDomain, make_device_mesh, sharded_impose_bc
+from ibx.topology import Domain
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    lower = polyline(np.array([[0.0, 0.0], [1.0, 0.0]]), closed=False)
+    upper = polyline(np.array([[0.0, 0.0], [0.0, 1.0]]), closed=False)
+    msh = build_mesh(
+        [0.0, 0.0], [1.0, 1.0],
+        ("lower", lower, 4e-2),
+        ("upper", upper, 4e-2),
+        refinement_regions=[(Line([0.0, 0.0], [1.0, 1.0]), 8e-2)],
+        block_size=4,
+    )
+    fams = [("outlet", [(0, True), (1, True)])]
+    dom1 = Domain(msh, hypercube_families=fams)
+    dom8 = Domain(msh, n_partitions=8, hypercube_families=fams)
+    return dom1, dom8
+
+
+def _residual(part, u):
+    D = ops.jst_sensor(part, u)
+    r = jnp.zeros_like(u)
+    for dim in range(part.nd):
+        du = ops.cell_gradient(part, u, dim)
+        uL, uR = ops.muscl(part, u, du, dim, D=D, high_order=True)
+        flux = (uL + uR) / 2 + (uL - uR) / 2
+        r = r - ops.green_gauss(part, flux, dim)
+    return r
+
+
+def test_sharded_matches_single(meshes):
+    dom1, dom8 = meshes
+    assert len(jax.devices()) >= 8
+    mesh = make_device_mesh(8)
+    sdom = ShardedDomain(dom8, mesh)
+
+    u0 = np.sin(3 * dom1.centers[:, 0]) * np.cos(2 * dom1.centers[:, 1])
+    u0 = u0.astype(np.float32)
+
+    # single-partition truth
+    r1 = np.asarray(_residual(dom1.partitions[0], jnp.asarray(u0)))
+
+    run = jax.jit(sdom.shard_fn(lambda ctx, u: _residual(ctx.part, u)))
+    (r8_sharded,) = run(sdom.distribute(u0))
+    r8 = sdom.collect(r8_sharded)
+    np.testing.assert_allclose(r8, r1, atol=1e-5)
+
+
+def test_sharded_bc_and_march_matches_single(meshes):
+    dom1, dom8 = meshes
+    mesh = make_device_mesh(8)
+    sdom = ShardedDomain(dom8, mesh)
+
+    def bc_then_residual_single(u):
+        u = dom1.impose_bc("upper", lambda b, i: jnp.ones_like(i), u)
+        u = dom1.impose_bc("lower", lambda b, i: jnp.zeros_like(i), u)
+        u = dom1.impose_bc("outlet", lambda b, i: i, u)
+        return u + 0.01 * _residual(dom1.partitions[0], u)
+
+    def sharded_step(ctx, u):
+        u = sharded_impose_bc(ctx, ctx.boundary("upper"),
+                              lambda b, i: jnp.ones_like(i), u)
+        u = ctx.refresh(u)
+        u = sharded_impose_bc(ctx, ctx.boundary("lower"),
+                              lambda b, i: jnp.zeros_like(i), u)
+        u = ctx.refresh(u)
+        u = sharded_impose_bc(ctx, ctx.boundary("outlet"),
+                              lambda b, i: i, u)
+        u = ctx.refresh(u)
+        return u + 0.01 * _residual(ctx.part, u)
+
+    u0 = (dom1.centers[:, 0] * dom1.centers[:, 1]).astype(np.float32)
+    run = jax.jit(sdom.shard_fn(sharded_step))
+
+    u_sh = sdom.distribute(u0)
+    u_ref = jnp.asarray(u0)
+    for _ in range(3):
+        (u_sh,) = run(u_sh)
+        u_ref = bc_then_residual_single(u_ref)
+    np.testing.assert_allclose(
+        sdom.collect(u_sh), np.asarray(u_ref), atol=2e-5
+    )
+
+
+def test_collective_reductions(meshes):
+    dom1, dom8 = meshes
+    mesh = make_device_mesh(8)
+    sdom = ShardedDomain(dom8, mesh)
+    vol = np.prod(dom1.widths, axis=1).astype(np.float32)
+
+    def total_volume(ctx, v):
+        own = jax.lax.slice_in_dim(v, 0, ctx.part.n_own, axis=0)
+        mask = jax.lax.slice_in_dim(ctx.own_mask, 0, ctx.part.n_own, axis=0)
+        s = ctx.psum((own * mask).sum())
+        return jnp.broadcast_to(s, (ctx.part.n_dom,))
+
+    run = jax.jit(sdom.shard_fn(total_volume))
+    (out,) = run(sdom.distribute(vol))
+    np.testing.assert_allclose(sdom.collect(out)[0], 1.0, rtol=1e-5)
