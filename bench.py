@@ -1,0 +1,61 @@
+"""Benchmark: RAE2822 2D Euler pseudo-time march throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+North-star target (BASELINE.json): > 1e9 cell-updates/sec on a v5e-8 pod,
+i.e. 125e6 cell-updates/sec/chip; vs_baseline = value / 125e6.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from ibx.cases import build_rae2822
+
+    wall_h = float(os.environ.get("IBX_BENCH_WALL_H", "2.5e-3"))
+    feature_h = wall_h / 2
+    steps = int(os.environ.get("IBX_BENCH_STEPS", "50"))
+
+    t0 = time.time()
+    case = build_rae2822(wall_h=wall_h, feature_h=feature_h, cfl=0.7)
+    build_s = time.time() - t0
+    n = case.dom.ncells
+
+    P = case.P0
+    # warmup / compile
+    P = case.march(P, 2)
+    jax.block_until_ready(P)
+    t0 = time.time()
+    P = case.march(P, steps)
+    jax.block_until_ready(P)
+    elapsed = time.time() - t0
+
+    if not bool(np.isfinite(np.asarray(P)).all()):
+        print(json.dumps({"metric": "error", "value": 0,
+                          "unit": "non-finite state", "vs_baseline": 0}))
+        sys.exit(1)
+
+    cups = n * steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "rae2822_euler_cell_updates_per_sec_per_chip",
+                "value": cups,
+                "unit": (
+                    f"cell-updates/s/chip (cells={n}, steps={steps}, "
+                    f"march={elapsed:.3f}s, build={build_s:.1f}s)"
+                ),
+                "vs_baseline": cups / 125e6,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""RAE2822 transonic airfoil case (the flagship benchmark workload).
+
+Mesh and domain follow the reference's ``test/rae2822.jl`` (Selig ``.dat``
+ingest, feature-refined quadtree over a +/-25-chord box, 4-sided farfield
+family); the Euler march assembles the README solver recipe. Everything
+device-side compiles to a single jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import DistanceField, build_mesh, feature_regions, load_surface, merge_points
+from ..physics.bc import apply_flow_bc, flow_bc
+from ..physics.fluid import make_fluid, primitive2state, speed_of_sound
+from ..solve.euler import rk2_step
+from ..topology.domain import Domain
+
+RAE_DAT = os.path.join(os.path.dirname(__file__), "data", "rae2822.dat")
+
+
+@dataclasses.dataclass
+class Rae2822Case:
+    dom: Domain
+    fluid: object
+    P_inf: np.ndarray
+    mach: float
+    alpha: float
+    step: Callable          # jitted (P,) -> (P, resnorm)
+    march: Callable         # jitted (P, n_steps) -> P   (fori_loop batched)
+    P0: jnp.ndarray         # initialized freestream primitives
+    apply_bcs: Callable
+
+
+def build_rae2822(
+    *,
+    wall_h: float = 1e-2,
+    feature_h: float = 5e-3,
+    farfield: float = 25.0,
+    block_size: int = 8,
+    mach: float = 0.73,
+    alpha_deg: float = 2.31,
+    cfl: float = 0.8,
+    n_partitions: int = 1,
+    high_order: bool = True,
+) -> Rae2822Case:
+    stl = merge_points(load_surface(RAE_DAT))
+    features = DistanceField(feature_regions(stl, radius=0.05))
+
+    msh = build_mesh(
+        [-farfield, -farfield], [2 * farfield, 2 * farfield],
+        ("wall", stl, wall_h),
+        refinement_regions=[(features, feature_h)],
+        block_size=block_size,
+    )
+    dom = Domain(
+        msh,
+        n_partitions=n_partitions,
+        hypercube_families=[
+            ("farfield", [(0, False), (0, True), (1, False), (1, True)]),
+        ],
+    )
+
+    fluid = make_fluid()
+    T_inf = 288.15
+    p_inf = 101325.0
+    a = float(np.sqrt(1.4 * 283.0 * T_inf))
+    V = mach * a
+    al = np.deg2rad(alpha_deg)
+    P_inf = np.array(
+        [p_inf, T_inf, V * np.cos(al), V * np.sin(al)], dtype=np.float32
+    )
+
+    farfield_bc = flow_bc(fluid, P_inf)
+    wall_bc = flow_bc(fluid, [p_inf, T_inf, 0.0], normal_flow=True)
+
+    def apply_bcs(P):
+        P = dom.impose_bc(
+            "farfield", lambda b, Pi: apply_flow_bc(farfield_bc, Pi, b.normals), P
+        )
+        P = dom.impose_bc(
+            "wall", lambda b, Pi: apply_flow_bc(wall_bc, Pi, b.normals), P
+        )
+        return P
+
+    part = dom.partitions[0]
+
+    @jax.jit
+    def step(P):
+        return rk2_step(part, fluid, P, apply_bcs, cfl=cfl,
+                        high_order=high_order)
+
+    @jax.jit
+    def march(P, n_steps):
+        def body(_, P):
+            P_new, _ = rk2_step(part, fluid, P, apply_bcs, cfl=cfl,
+                                high_order=high_order)
+            return P_new
+        return jax.lax.fori_loop(0, n_steps, body, P)
+
+    P0 = jnp.broadcast_to(jnp.asarray(P_inf), (dom.ncells, 4))
+    P0 = apply_bcs(P0)
+
+    return Rae2822Case(
+        dom=dom, fluid=fluid, P_inf=P_inf, mach=mach, alpha=alpha_deg,
+        step=step, march=march, P0=P0, apply_bcs=apply_bcs,
+    )
+
+
+def wall_cp(case: Rae2822Case, P) -> np.ndarray:
+    """Pressure coefficient sampled at the wall surface points."""
+    from ..physics.fluid import pressure_coefficient
+
+    surf = case.dom.surfaces["wall"]
+    p_wall = np.asarray(surf(P[:, 0]))
+    return np.asarray(
+        pressure_coefficient(case.fluid, p_wall, float(case.P_inf[0]),
+                             case.mach)
+    )
+
+
+def force_coefficients(case: Rae2822Case, P):
+    """(Cl, Cd) from the wall-sampled pressure (chord = 1)."""
+    from ..topology.domain import surface_integral
+
+    surf = case.dom.surfaces["wall"]
+    cp = wall_cp(case, P)
+    # outward (into-fluid) unit normals scaled by panel areas
+    f = -cp[:, None] * surf.normals * surf.areas[:, None]
+    F = f.sum(axis=0)
+    al = np.deg2rad(case.alpha)
+    drag = F[0] * np.cos(al) + F[1] * np.sin(al)
+    lift = -F[0] * np.sin(al) + F[1] * np.cos(al)
+    return float(lift), float(drag)
