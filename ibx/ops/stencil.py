@@ -61,6 +61,12 @@ def stencil_from_lists(indices, weights=None, n_output=None,
     ``weights[m]`` the matching weights (defaults to all-ones, matching the
     weightless Accumulator of the reference, ``src/accumulator.jl:84-93``).
     Zero-based indices.
+
+    NOTE: leaves stay host (numpy) arrays. Device placement happens once per
+    containing structure (``jax.device_put`` of the whole pytree) — creating
+    and freeing odd-sized device buffers during the topology compile
+    fragments the device allocator and degrades every subsequent kernel
+    launch.
     """
     M = len(indices) if n_output is None else n_output
     K = max([min_width] + [len(s) for s in indices])
@@ -77,15 +83,14 @@ def stencil_from_lists(indices, weights=None, n_output=None,
             w[m, :L] = weights[m]
         # pad with a repeat of the first valid index (harmless gather target)
         idx[m, L:] = s[0]
-    return Stencil(idx=jnp.asarray(idx), w=jnp.asarray(w), n_output=M, width=K)
+    return Stencil(idx=idx, w=w, n_output=M, width=K)
 
 
 def stencil_from_padded(idx: np.ndarray, w: np.ndarray) -> Stencil:
-    """Wrap already-padded host tables (int[M,K], float[M,K])."""
-    idx = np.asarray(idx, dtype=np.int32)
-    w = np.asarray(w, dtype=np.float32)
-    return Stencil(idx=jnp.asarray(idx), w=jnp.asarray(w),
-                   n_output=idx.shape[0], width=idx.shape[1])
+    """Wrap already-padded host tables (int[M,K], float[M,K]); host leaves."""
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    return Stencil(idx=idx, w=w, n_output=idx.shape[0], width=idx.shape[1])
 
 
 def _expand(w, ndim_extra):
@@ -127,7 +132,7 @@ def reindex_stencil(st: Stencil, mapping: np.ndarray) -> Stencil:
     used to localize global stencils to a partition's domain numbering.
     """
     idx = np.asarray(st.idx)
-    return Stencil(idx=jnp.asarray(np.asarray(mapping)[idx], dtype=np.int32),
+    return Stencil(idx=np.asarray(mapping)[idx].astype(np.int32),
                    w=st.w, n_output=st.n_output, width=st.width)
 
 

@@ -56,11 +56,13 @@ def coarsener_and_prolongator(
     w[assign[order], slot] = volumes[order]
     wsum = w.sum(axis=1, keepdims=True)
     w = np.divide(w, wsum, out=np.zeros_like(w), where=wsum > 0)
-    coarsener = stencil_from_padded(idx, w)
+    import jax
+
+    coarsener = jax.device_put(stencil_from_padded(idx, w))
 
     pidx = assign.astype(np.int32)[:, None]
     pw = np.ones((N, 1), dtype=np.float32)
-    prolongator = stencil_from_padded(pidx, pw)
+    prolongator = jax.device_put(stencil_from_padded(pidx, pw))
     return coarsener, prolongator
 
 

@@ -46,8 +46,9 @@ def multigrid(dom: Domain, max_levels: int = 0, *, factor: int = 2,
             break
         cdom = Domain(msh.coarsen(bsize), **kwargs)
         X = cdom.centers
-        coarseners.append(idw_interpolator(X_old, X))
-        prolongators.append(idw_interpolator(X, X_old))
+        import jax
+        coarseners.append(jax.device_put(idw_interpolator(X_old, X)))
+        prolongators.append(jax.device_put(idw_interpolator(X, X_old))) 
         coarse_domains.append(cdom)
         X_old = X
 

@@ -23,6 +23,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 from scipy.spatial import cKDTree
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry.octree import Mesh, get_cells
@@ -166,6 +167,11 @@ class DomainExecutionMixin:
         ``src/ImmersedBoundary.jl:820-864``, made functional).
         Returns the updated global arrays (tuple, or single array)."""
         arrays = [jnp.asarray(a) for a in arrays]
+        if self.n_partitions == 1:
+            res = f(self.partitions[0], *arrays)
+            if not isinstance(res, (tuple, list)):
+                return res
+            return tuple(res) if len(res) > 1 else res[0]
         outs = list(arrays)
         for p, part in enumerate(self.partitions):
             dom_idx = self.part_domain[p]
@@ -343,13 +349,27 @@ class Domain(DomainExecutionMixin):
         # ---- localized boundaries --------------------------------------
         # boundaries[name][p] — per-partition blocks (empty blocks possible)
         self.boundaries: Dict[str, List[Boundary]] = {}
+        self._ghost_global: Dict[str, List[np.ndarray]] = {}
         for bname, hb in self._host_boundaries.items():
             blocks = []
+            ghost_globals = []
             for p in range(P):
                 lo, hi = p * n_own, min((p + 1) * n_own, N)
                 sel = (hb.ghosts >= lo) & (hb.ghosts < hi)
                 blocks.append(self._localize_boundary(hb, sel, p))
+                ghost_globals.append(hb.ghosts[sel])
             self.boundaries[bname] = blocks
+            self._ghost_global[bname] = ghost_globals
+
+        # ---- single device placement pass --------------------------------
+        # One bulk transfer of long-lived pytrees. Do NOT allocate/free
+        # device buffers during the host compile above: odd-sized churn
+        # fragments the TPU allocator and slows every later kernel launch.
+        self.partitions = jax.device_put(self.partitions)
+        self.boundaries = jax.device_put(self.boundaries)
+        for surf in self.surfaces.values():
+            surf.interpolator = jax.device_put(surf.interpolator)
+            surf.offset_interpolator = jax.device_put(surf.offset_interpolator)
 
     # -- builders ---------------------------------------------------------
 
@@ -379,8 +399,8 @@ class Domain(DomainExecutionMixin):
             n_f = np.where(n_l < 0, o_f, n_l)
 
             F = o_f.size
-            face_owner.append(jnp.asarray(o_f.astype(np.int32)))
-            face_neighbor.append(jnp.asarray(n_f.astype(np.int32)))
+            face_owner.append(o_f.astype(np.int32))
+            face_neighbor.append(n_f.astype(np.int32))
 
             face_ids = np.arange(F, dtype=np.int64)
             for side_cells, add, store in (
@@ -397,13 +417,13 @@ class Domain(DomainExecutionMixin):
                 store.append(stencil_from_padded(idx_t, w_t))
 
         return Partition(
-            centers=jnp.asarray(centers[domain]),
-            spacing=jnp.asarray(widths[domain]),
+            centers=centers[domain].astype(np.float32),
+            spacing=widths[domain].astype(np.float32),
             face_owner=tuple(face_owner),
             face_neighbor=tuple(face_neighbor),
             acc_left=tuple(acc_left),
             acc_right=tuple(acc_right),
-            own_mask=jnp.asarray(own_mask),
+            own_mask=own_mask,
             n_own=int(self.n_own),
             n_dom=int(n_dom),
             nd=nd,
@@ -421,14 +441,14 @@ class Domain(DomainExecutionMixin):
         gd = hb.ghost_distances[sel]
         idist = hb.image_distances[sel]
         return Boundary(
-            ghost=jnp.asarray(ghosts_l.astype(np.int32)),
-            projections=jnp.asarray(hb.projections[sel]),
-            normals=jnp.asarray(hb.normals[sel]),
-            image_distances=jnp.asarray(idist),
-            ghost_distances=jnp.asarray(gd),
-            eta=jnp.asarray(gd / idist),
+            ghost=ghosts_l.astype(np.int32),
+            projections=hb.projections[sel],
+            normals=hb.normals[sel],
+            image_distances=idist,
+            ghost_distances=gd,
+            eta=(gd / idist).astype(np.float32),
             interp=stencil_from_padded(idx_l, hb.interp_w[sel]),
-            valid=jnp.ones(G, dtype=jnp.float32),
+            valid=np.ones(G, dtype=np.float32),
             n_ghost=G,
         )
 
@@ -456,7 +476,7 @@ class Domain(DomainExecutionMixin):
             res = fn(bdry, *iargs, **kwargs)
             if not isinstance(res, (tuple, list)):
                 res = (res,)
-            ghost_global = self.part_domain[p][np.asarray(bdry.ghost)]
+            ghost_global = self._ghost_global[name][p]
             for i, (ia, ba) in enumerate(zip(iargs, res)):
                 eta = bdry.eta.reshape(bdry.eta.shape + (1,) * (ia.ndim - 1))
                 gvals = eta * ia + (1.0 - eta) * ba
