@@ -50,6 +50,7 @@ def build_rae2822(
     cfl: float = 0.8,
     n_partitions: int = 1,
     high_order: bool = True,
+    use_blocks: bool = True,
 ) -> Rae2822Case:
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
@@ -92,17 +93,30 @@ def build_rae2822(
 
     part = dom.partitions[0]
 
+    if use_blocks and n_partitions == 1:
+        # dense block-structured fast path (numerics identical to the
+        # generic gather path; see tests/test_block_ops.py)
+        from ..ops.block_ops import rk2_step_block
+        from ..topology.blocks import build_block_tables
+
+        bt = build_block_tables(dom)
+
+        def _one_step(P):
+            return rk2_step_block(bt, fluid, P, apply_bcs, cfl=cfl,
+                                  high_order=high_order)
+    else:
+        def _one_step(P):
+            return rk2_step(part, fluid, P, apply_bcs, cfl=cfl,
+                            high_order=high_order)
+
     @jax.jit
     def step(P):
-        return rk2_step(part, fluid, P, apply_bcs, cfl=cfl,
-                        high_order=high_order)
+        return _one_step(P)
 
     @jax.jit
     def march(P, n_steps):
         def body(_, P):
-            P_new, _ = rk2_step(part, fluid, P, apply_bcs, cfl=cfl,
-                                high_order=high_order)
-            return P_new
+            return _one_step(P)[0]
         return jax.lax.fori_loop(0, n_steps, body, P)
 
     P0 = jnp.broadcast_to(jnp.asarray(P_inf), (dom.ncells, 4))

@@ -81,27 +81,31 @@ def heat_conductivity(fluid: Fluid, T):
 
 
 def primitive2state(fluid: Fluid, P):
-    """[p T u v (w)] -> [rho E rho*u ...] (reference ``src/cfd.jl:106-123``)."""
-    p = P[:, 0]
-    T = _clampT(P[:, 1])
-    u = P[:, 2:]
-    kin = (u ** 2).sum(axis=1) / 2
+    """[p T u v (w)] -> [rho E rho*u ...] (reference ``src/cfd.jl:106-123``).
+
+    Components live on the LAST axis; any leading shape is accepted (flat
+    [N, C] or block-structured [B, ..., C]).
+    """
+    p = P[..., 0]
+    T = _clampT(P[..., 1])
+    u = P[..., 2:]
+    kin = (u ** 2).sum(axis=-1) / 2
     rho = p / (fluid.R * T)
     E = rho * (fluid.R / (fluid.gamma - 1.0) * T + kin)
     return jnp.concatenate(
-        [rho[:, None], E[:, None], rho[:, None] * u], axis=1
+        [rho[..., None], E[..., None], rho[..., None] * u], axis=-1
     )
 
 
 def state2primitive(fluid: Fluid, Q):
     """[rho E rho*u ...] -> [p T u ...] (reference ``src/cfd.jl:137-151``)."""
-    rho = Q[:, 0]
-    E = Q[:, 1]
-    u = Q[:, 2:] / rho[:, None]
-    kin = (u ** 2).sum(axis=1) / 2
+    rho = Q[..., 0]
+    E = Q[..., 1]
+    u = Q[..., 2:] / rho[..., None]
+    kin = (u ** 2).sum(axis=-1) / 2
     p = (fluid.gamma - 1.0) * (E - rho * kin)
     T = _clampT(p / (rho * fluid.R))
-    return jnp.concatenate([p[:, None], T[:, None], u], axis=1)
+    return jnp.concatenate([p[..., None], T[..., None], u], axis=-1)
 
 
 def pressure_coefficient(fluid: Fluid, p, p_inf: float, M_inf: float):

@@ -16,21 +16,24 @@ from .fluid import Fluid, primitive2state, speed_of_sound
 
 def _normal_velocity(P, dim):
     if isinstance(dim, int):
-        return P[:, 2 + dim]
-    return (dim * P[:, 2:]).sum(axis=1)
+        return P[..., 2 + dim]
+    return (dim * P[..., 2:]).sum(axis=-1)
 
 
 def _flux_one_side(fluid: Fluid, P, dim):
-    """Q, F = state and directed inviscid flux for one side."""
+    """Q, F = state and directed inviscid flux for one side.
+
+    Components on the last axis; any leading shape.
+    """
     Q = primitive2state(fluid, P)
-    p = P[:, 0]
-    F = Q.at[:, 1].add(p)          # pressure work in the energy flux
+    p = P[..., 0]
+    F = Q.at[..., 1].add(p)        # pressure work in the energy flux
     u_n = _normal_velocity(P, dim)
-    F = F * u_n[:, None]
+    F = F * u_n[..., None]
     if isinstance(dim, int):
-        F = F.at[:, 2 + dim].add(p)
+        F = F.at[..., 2 + dim].add(p)
     else:
-        F = F.at[:, 2:].add(p[:, None] * dim)
+        F = F.at[..., 2:].add(p[..., None] * dim)
     return Q, F, u_n
 
 
@@ -40,10 +43,10 @@ def inviscid_fluxes_hll(fluid: Fluid, PL, PR, dim: Union[int, jnp.ndarray]):
     ``SL = max(uL + aL, 0)``, ``SR = min(uR - aR, 0)``)."""
     QL, FL, uL = _flux_one_side(fluid, PL, dim)
     QR, FR, uR = _flux_one_side(fluid, PR, dim)
-    aL = speed_of_sound(fluid, PL[:, 1])
-    aR = speed_of_sound(fluid, PR[:, 1])
-    SL = jnp.maximum(uL + aL, 0.0)[:, None]
-    SR = jnp.minimum(uR - aR, 0.0)[:, None]
+    aL = speed_of_sound(fluid, PL[..., 1])
+    aR = speed_of_sound(fluid, PR[..., 1])
+    SL = jnp.maximum(uL + aL, 0.0)[..., None]
+    SR = jnp.minimum(uR - aR, 0.0)[..., None]
     return (SL * FL - SR * FR + SR * SL * (QR - QL)) / (SL - SR)
 
 

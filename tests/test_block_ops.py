@@ -1,0 +1,102 @@
+"""Parity oracle: the dense block fast path must reproduce the generic
+gather-based operators on the same mesh (including refinement jumps and
+hypercube boundaries)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ibx.cases import build_rae2822
+from ibx.ops import block_ops as bops
+from ibx.ops import operators as ops
+from ibx.solve.euler import euler_rhs, local_timestep
+from ibx.topology.blocks import build_block_tables
+
+
+@pytest.fixture(scope="module")
+def case():
+    return build_rae2822(wall_h=8e-2, feature_h=4e-2, cfl=0.7)
+
+
+@pytest.fixture(scope="module")
+def bt(case):
+    return build_block_tables(case.dom)
+
+
+def test_block_tables_cover_all_faces(case, bt):
+    dom = case.dom
+    n_sparse = sum(int(np.asarray(bt.sp_owner[d]).shape[0]) for d in range(2))
+    bs = bt.block_size
+    B = bt.n_blocks
+    # dense faces: intra-block + valid edges
+    n_intra = B * 2 * bs * (bs - 1)
+    n_edge = int(sum(np.asarray(bt.edge_valid[d][1]).sum() for d in range(2))) * bs
+    assert n_sparse + n_intra + n_edge == dom.face_dim.shape[0]
+    # the sparse set should be a small fraction
+    assert n_sparse < 0.35 * dom.face_dim.shape[0]
+
+
+def test_rhs_parity(case, bt):
+    dom = case.dom
+    part = dom.partitions[0]
+    rng = np.random.default_rng(0)
+    # a non-trivial smooth + noisy state around freestream
+    P = np.asarray(case.P0).copy()
+    x, y = dom.centers[:, 0], dom.centers[:, 1]
+    P[:, 0] *= (1.0 + 0.05 * np.sin(x) * np.cos(y)).astype(np.float32)
+    P[:, 1] *= (1.0 + 0.02 * np.cos(x)).astype(np.float32)
+    P[:, 2] += 20.0 * np.sin(y).astype(np.float32)
+    P[:, 3] += 10.0 * np.cos(x).astype(np.float32)
+    P = jnp.asarray(P)
+
+    R_ref = np.asarray(jax.jit(
+        lambda P: euler_rhs(part, case.fluid, P, high_order=True)
+    )(P))
+    R_blk = np.asarray(jax.jit(
+        lambda P: bops.euler_rhs_block(bt, case.fluid, P, high_order=True)
+    )(P))
+
+    scale = np.abs(R_ref).max(axis=0) + 1e-3
+    err = np.abs(R_blk - R_ref) / scale
+    assert err.max() < 2e-4, f"max rel err {err.max()}"
+
+
+def test_dt_parity(case, bt):
+    dom = case.dom
+    part = dom.partitions[0]
+    P = case.P0
+    dt_ref = np.asarray(jax.jit(
+        lambda P: local_timestep(part, case.fluid, P, 0.7)
+    )(P))
+    _, dt_blk = jax.jit(
+        lambda P: bops.euler_rhs_block(bt, case.fluid, P, with_dt=True,
+                                       cfl=0.7)
+    )(P)
+    np.testing.assert_allclose(np.asarray(dt_blk), dt_ref, rtol=1e-4)
+
+
+def test_step_parity_multi(case, bt):
+    """March both paths a few steps with identical BCs; fields must agree."""
+    from ibx.solve.euler import rk2_step
+
+    part = case.dom.partitions[0]
+
+    def step_ref(P):
+        return rk2_step(part, case.fluid, P, case.apply_bcs, cfl=0.7)[0]
+
+    def step_blk(P):
+        return bops.rk2_step_block(bt, case.fluid, P, case.apply_bcs,
+                                   cfl=0.7)[0]
+
+    P_r = case.P0
+    P_b = case.P0
+    jr = jax.jit(step_ref)
+    jb = jax.jit(step_blk)
+    for _ in range(5):
+        P_r = jr(P_r)
+        P_b = jb(P_b)
+    P_r = np.asarray(P_r)
+    P_b = np.asarray(P_b)
+    scale = np.abs(P_r).max(axis=0)
+    assert (np.abs(P_b - P_r) / scale).max() < 1e-3
