@@ -1,16 +1,22 @@
 """Dense block-structured operators: the TPU fast path (device side).
 
 State lives as [B, bs, ..., bs, C] block grids (a free reshape of the global
-cell ordering, reference ``src/mesher.jl:1064-1088``). All intra-block and
-regular inter-block faces are computed with shift/slice vector ops; edge
-columns come from one gather over the block axis; sparse (irregular) faces
-are evaluated flat and folded in with scatter-adds. Numerics are identical to
-the generic gather path (`ibx.ops.operators`) — the parity tests enforce it.
+cell ordering, reference ``src/mesher.jl:1064-1088``). Face work decomposes
+into (see `ibx.topology.blocks`):
+
+  dense   — intra-block + equal-size inter-block + boundary one-sided faces:
+            shift/slice vector ops; halo columns by one block-axis gather;
+  2:1     — refinement interfaces as per-interface column ops (tiny
+            block-granular gathers/scatters);
+  generic — any leftover faces via batched gather + scatter-add.
+
+Numerics are identical to the generic gather path (`ibx.ops.operators`) —
+the parity tests enforce it.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +33,6 @@ def _axis(bt: BlockTables, d: int) -> int:
 
 
 def to_blocks(bt: BlockTables, u_flat):
-    """[N, C] (or [N]) -> [B, bs, ..., bs, (C)] — a free reshape."""
     return u_flat.reshape(
         (bt.n_blocks,) + (bt.block_size,) * bt.nd + u_flat.shape[1:]
     )
@@ -39,21 +44,25 @@ def to_flat(bt: BlockTables, u3):
 
 
 def pad_dim(bt: BlockTables, u3, d: int):
-    """Append halo slices from regular neighbor blocks on both sides.
-
-    [B, ..., bs, ..., C] -> [B, ..., bs+2, ..., C]. Invalid sides gather
-    block 0 (finite junk, masked later by `face_mask`).
-    """
+    """Halo columns: regular neighbors' edge slices; boundary sides mirror
+    the own edge (the reference's o == n one-sided faces); invalid sides get
+    finite junk (masked by `face_mask`)."""
     ax = _axis(bt, d)
+    bs = bt.block_size
     first = jax.lax.slice_in_dim(u3, 0, 1, axis=ax)
-    last = jax.lax.slice_in_dim(u3, bt.block_size - 1, bt.block_size, axis=ax)
+    last = jax.lax.slice_in_dim(u3, bs - 1, bs, axis=ax)
+
+    def bmask(v):
+        return v.reshape((bt.n_blocks,) + (1,) * (u3.ndim - 1))
+
     halo_l = jnp.take(last, bt.nbr[d][0], axis=0)
+    halo_l = jnp.where(bmask(bt.bnd[d][0]) > 0, first, halo_l)
     halo_r = jnp.take(first, bt.nbr[d][1], axis=0)
+    halo_r = jnp.where(bmask(bt.bnd[d][1]) > 0, last, halo_r)
     return jnp.concatenate([halo_l, u3, halo_r], axis=ax)
 
 
 def face_lr(bt: BlockTables, up, d: int):
-    """Owner/neighbor values on the bs+1 faces of each block row."""
     ax = _axis(bt, d)
     uo = jax.lax.slice_in_dim(up, 0, bt.block_size + 1, axis=ax)
     un = jax.lax.slice_in_dim(up, 1, bt.block_size + 2, axis=ax)
@@ -61,7 +70,6 @@ def face_lr(bt: BlockTables, up, d: int):
 
 
 def face_mask(bt: BlockTables, d: int, n_trailing: int = 1):
-    """[B, 1.., bs+1, ..1] multiplier: 1 inside, edge_valid at the two edges."""
     bs = bt.block_size
     m = jnp.ones((bt.n_blocks, bs + 1), dtype=jnp.float32)
     m = m.at[:, 0].set(bt.edge_valid[d][0])
@@ -73,13 +81,11 @@ def face_mask(bt: BlockTables, d: int, n_trailing: int = 1):
 
 
 def _h_bcast(bt: BlockTables, d: int, n_trailing: int = 1):
-    """Per-block cell size broadcast over the grid dims."""
     shape = [bt.n_blocks] + [1] * (bt.nd + n_trailing)
     return bt.h[:, d].reshape(shape)
 
 
 def gg_dense(bt: BlockTables, F, d: int):
-    """(F_plus - F_minus) / h over masked dense faces -> cell grid."""
     ax = _axis(bt, d)
     bs = bt.block_size
     plus = jax.lax.slice_in_dim(F, 1, bs + 1, axis=ax)
@@ -95,33 +101,104 @@ def ugg_dense(bt: BlockTables, F, d: int):
     return (plus + minus) / _h_bcast(bt, d, F.ndim - 1 - bt.nd)
 
 
-def _sp_scatter(bt: BlockTables, d: int, vals, signed: bool):
-    """Fold sparse face values into flat cell sums.
+def _edge(bt: BlockTables, u3, d: int, s: int):
+    """Edge column of every block: [B, n_side..., C]."""
+    ax = _axis(bt, d)
+    idx = bt.block_size - 1 if s else 0
+    return jax.lax.index_in_dim(u3, idx, axis=ax, keepdims=False)
 
-    signed=True: green-gauss (+w_r to owner, -w_l to neighbor);
-    signed=False: unsigned (+, +). Returns flat [N, C]/[N] sums (NOT divided
-    by spacing).
+
+def _expand_half(col, off, bs: int):
+    """col [V, bs, C], off [V] in {0,1} -> entry j = col[off*bs/2 + j//2]."""
+    low = jnp.repeat(col[:, : bs // 2], 2, axis=1)
+    high = jnp.repeat(col[:, bs // 2:], 2, axis=1)
+    return jnp.where((off == 1)[:, None, None], high, low)
+
+
+def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
+                          n_out: int, signed_mask):
+    """Structured 2:1 interface contributions as a cell-grid array.
+
+    ``face_fn(W_owner, W_neighbor, h_owner, h_neighbor) -> [..., n_out]``
+    computes per-face quantities with the owner on the minus side. Columns
+    flagged in ``signed_mask`` accumulate green-gauss style (+ on a cell's
+    plus side, - on its minus side); others accumulate unsigned. The result
+    is already divided by the accumulating cell's spacing.
     """
+    bs = bt.block_size
+    grid_shape = (bt.n_blocks,) + (bs,) * bt.nd + (n_out,)
+    corr3 = jnp.zeros(grid_shape, dtype=W3.dtype)
+    signed = jnp.asarray(signed_mask, dtype=W3.dtype)
+    ax = _axis(bt, d)
+
+    for s in (0, 1):
+        sgn = jnp.where(signed > 0, 1.0 if s == 1 else -1.0, 1.0)
+        col = jnp.zeros((bt.n_blocks, bs, n_out), dtype=W3.dtype)
+        any_side = False
+
+        fsb = bt.fs_block[d][s]
+        if fsb.shape[0]:
+            any_side = True
+            own = jnp.take(_edge(bt, W3, d, s), fsb, axis=0)
+            other_col = jnp.take(_edge(bt, W3, d, 1 - s),
+                                 bt.fs_coarse[d][s], axis=0)
+            other = _expand_half(other_col, bt.fs_off[d][s], bs)
+            hf = bt.h[:, d][fsb][:, None, None]
+            hc = 2.0 * hf
+            if s == 1:
+                vals = face_fn(own, other, hf, hc)
+            else:
+                vals = face_fn(other, own, hc, hf)
+            col = col.at[fsb].add(vals * sgn / hf)
+
+        csb = bt.cs_block[d][s]
+        if csb.shape[0]:
+            any_side = True
+            own = jnp.take(_edge(bt, W3, d, s), csb, axis=0)
+            opp = _edge(bt, W3, d, 1 - s)
+            f1 = jnp.take(opp, bt.cs_fine[d][s][:, 0], axis=0)
+            f2 = jnp.take(opp, bt.cs_fine[d][s][:, 1], axis=0)
+            fine = jnp.concatenate([f1, f2], axis=1)     # [Vc, 2bs, C]
+            n1 = fine[:, 0::2]
+            n2 = fine[:, 1::2]
+            hc = bt.h[:, d][csb][:, None, None]
+            hf = hc / 2.0
+            tot = None
+            for nb in (n1, n2):
+                if s == 1:
+                    vals = face_fn(own, nb, hc, hf)
+                else:
+                    vals = face_fn(nb, own, hf, hc)
+                tot = vals if tot is None else tot + vals
+            col = col.at[csb].add(tot * (0.5 * sgn) / hc)
+
+        if any_side:
+            idx = tuple(
+                (bs - 1 if s else 0) if a == ax else slice(None)
+                for a in range(corr3.ndim)
+            )
+            corr3 = corr3.at[idx].add(col)
+
+    return corr3
+
+
+def _generic_sparse(bt: BlockTables, d: int, W_flat, face_fn: Callable,
+                    n_out: int, signed_mask):
+    """Leftover faces: batched gather + scatter-add (exotic topologies)."""
     o = bt.sp_owner[d]
     n = bt.sp_neighbor[d]
-    wr = bt.sp_wr[d]
-    wl = bt.sp_wl[d]
-    if vals.ndim > 1:
-        wr = wr[:, None]
-        wl = wl[:, None]
-    shape = (bt.n_cells,) + vals.shape[1:]
-    out = jnp.zeros(shape, dtype=vals.dtype)
-    out = out.at[o].add(wr * vals)
-    out = out.at[n].add((wl if not signed else -wl) * vals)
-    return out
-
-
-def _sp_gather(bt: BlockTables, d: int, flat):
-    """(owner, neighbor) values of sparse faces; flat [N, C] or [N]."""
-    return (
-        jnp.take(flat, bt.sp_owner[d], axis=0),
-        jnp.take(flat, bt.sp_neighbor[d], axis=0),
-    )
+    Wo = jnp.take(W_flat, o, axis=0)
+    Wn = jnp.take(W_flat, n, axis=0)
+    sp = bt.spacing_flat[:, d]
+    ho = jnp.take(sp, o, axis=0)[:, None]
+    hn = jnp.take(sp, n, axis=0)[:, None]
+    vals = face_fn(Wo, Wn, ho, hn)
+    signed = jnp.asarray(signed_mask, dtype=vals.dtype)
+    pm = jnp.where(signed > 0, -1.0, 1.0)
+    out = jnp.zeros((bt.n_cells, n_out), dtype=vals.dtype)
+    out = out.at[o].add(bt.sp_wr[d][:, None] * vals)
+    out = out.at[n].add(bt.sp_wl[d][:, None] * vals * pm)
+    return out / sp[:, None]
 
 
 def euler_rhs_block(
@@ -134,24 +211,26 @@ def euler_rhs_block(
     cfl: float = 0.8,
 ):
     """Fused Euler dQ/dt on the block layout; numerics identical to
-    `ibx.solve.euler.euler_rhs` (MUSCL + JST blending + HLL).
-
-    Returns R (and local dt when ``with_dt``).
-    """
+    `ibx.solve.euler.euler_rhs` (MUSCL + JST blending + HLL)."""
     nd, bs = bt.nd, bt.block_size
     N = bt.n_cells
     ncomp = P.shape[-1]
     P3 = to_blocks(bt, P)
     a_flat = speed_of_sound(fluid, P[:, 1])
-    # per-dim wave speed for the CFL bound
     S_flat = jnp.abs(P[:, 2:2 + nd]) + a_flat[:, None]
     S3 = to_blocks(bt, S_flat)
-    sp = bt.spacing_flat
 
-    # ---------------- pass A: gradients, JST sensor, dt bound -------------
-    # sparse work is batched: per dim ONE wide gather pair and ONE signed +
-    # ONE unsigned scatter (many narrow gathers/scatters force layout
-    # round-trips on TPU)
+    nA = ncomp + 3  # [Pf(ncomp), fd, |fd|, sf]
+    signedA = [1.0] * (ncomp + 1) + [0.0, 0.0]
+
+    def face_A(Wo, Wn, ho, hn):
+        Po, Pn = Wo[..., :ncomp], Wn[..., :ncomp]
+        So, Sn = Wo[..., ncomp:ncomp + 1], Wn[..., ncomp:ncomp + 1]
+        Pf = (Po * hn + Pn * ho) / (ho + hn)
+        fd = Pn[..., 0:1] - Po[..., 0:1]
+        sf = (So * hn + Sn * ho) / (ho + hn)
+        return jnp.concatenate([Pf, fd, jnp.abs(fd), sf], axis=-1)
+
     du_flat = []
     nu = jnp.full((N,), 1e-7, dtype=P.dtype)
     dt_bound = jnp.zeros((N,), dtype=P.dtype) if with_dt else None
@@ -161,6 +240,7 @@ def euler_rhs_block(
         Wp = pad_dim(bt, W3, d)
         Wo, Wn = face_lr(bt, Wp, d)
         m = face_mask(bt, d, 1)
+        h = _h_bcast(bt, d, 1)
         Pf = 0.5 * (Wo[..., :ncomp] + Wn[..., :ncomp]) * m
         fd = (Wn[..., 0:1] - Wo[..., 0:1]) * m
         sf = 0.5 * (Wo[..., ncomp:] + Wn[..., ncomp:]) * m
@@ -169,93 +249,67 @@ def euler_rhs_block(
         G_dense = gg_dense(bt, fd, d)[..., 0]
         U_dense = ugg_dense(bt, jnp.abs(fd), d)[..., 0]
 
-        # sparse corrections (spacing-weighted at_faces at irregular faces)
-        Wflat = jnp.concatenate(
-            [P, S_flat[:, d:d + 1], sp[:, d:d + 1]], axis=1
-        )
-        Wo_s, Wn_s = _sp_gather(bt, d, Wflat)
-        Po_s, Pn_s = Wo_s[:, :ncomp], Wn_s[:, :ncomp]
-        so = Wo_s[:, ncomp + 1:]
-        sn = Wn_s[:, ncomp + 1:]
-        Pf_s = (Po_s * sn + Pn_s * so) / (so + sn)
-        fd_s = Pn_s[:, 0:1] - Po_s[:, 0:1]
-        sf_s = (Wo_s[:, ncomp:ncomp + 1] * sn
-                + Wn_s[:, ncomp:ncomp + 1] * so) / (so + sn)
+        corr = interface_corrections(bt, d, W3, face_A, nA, signedA)
+        if bt.sp_owner[d].shape[0]:
+            W_flat = jnp.concatenate([P, S_flat[:, d:d + 1]], axis=1)
+            corr = corr + to_blocks(
+                bt, _generic_sparse(bt, d, W_flat, face_A, nA, signedA)
+            )
+        corr_f = to_flat(bt, corr)
 
-        hcell = sp[:, d]
-        signed = _sp_scatter(
-            bt, d, jnp.concatenate([Pf_s, fd_s], axis=1), True
-        ) / hcell[:, None]
-        unsigned = _sp_scatter(
-            bt, d, jnp.concatenate([jnp.abs(fd_s), sf_s], axis=1), False
-        ) / hcell[:, None]
-
-        du = to_flat(bt, du_dense) + signed[:, :ncomp]
-        G = to_flat(bt, G_dense) + signed[:, ncomp]
-        U = to_flat(bt, U_dense) + unsigned[:, 0]
+        du = to_flat(bt, du_dense) + corr_f[:, :ncomp]
+        G = to_flat(bt, G_dense) + corr_f[:, ncomp]
+        U = to_flat(bt, U_dense) + corr_f[:, ncomp + 1]
         du_flat.append(du)
         nu = jnp.maximum(nu, (1e-7 + jnp.abs(G)) / (1e-7 + U))
 
         if with_dt:
-            dtb = to_flat(bt, ugg_dense(bt, sf, d))[:, 0] + unsigned[:, 1]
+            dtb = to_flat(bt, ugg_dense(bt, sf, d))[:, 0] + corr_f[:, ncomp + 2]
             dt_bound = dt_bound + dtb
 
     # ---------------- pass B: MUSCL + HLL + divergence ---------------------
     nu3 = to_blocks(bt, nu[:, None])
+    signedB = [1.0] * ncomp
+
     R = jnp.zeros_like(P)
     for d in range(nd):
         du = du_flat[d]
+
+        def face_B(Wo, Wn, ho, hn, d=d):
+            Po, Pn = Wo[..., :ncomp], Wn[..., :ncomp]
+            duo = Wo[..., ncomp:2 * ncomp]
+            dun = Wn[..., ncomp:2 * ncomp]
+            Do = Wo[..., -1:]
+            Dn = Wn[..., -1:]
+            down, dneigh = ho / 2, hn / 2
+            grad_f = (Pn - Po) / (down + dneigh)
+            slope_o = (2 * duo - grad_f) * down
+            slope_n = (2 * dun - grad_f) * dneigh
+            lim = minmod(slope_n, slope_o)
+            PL = Po + lim
+            PR = Pn - lim
+            D = jnp.maximum(jnp.maximum(Do, Dn), 1e-7)
+            uf = (Po * dneigh + Pn * down) / (down + dneigh)
+            if high_order:
+                uf = uf + (duo * down - dun * dneigh) / 8
+            PL = PL * D + (1.0 - D) * uf
+            PR = PR * D + (1.0 - D) * uf
+            return inviscid_fluxes_hll(fluid, PL, PR, d)
+
         V3 = jnp.concatenate([P3, to_blocks(bt, du), nu3], axis=-1)
         Vp = pad_dim(bt, V3, d)
         Vo, Vn = face_lr(bt, Vp, d)
-        Po = Vo[..., :ncomp]
-        Pn = Vn[..., :ncomp]
-        duo = Vo[..., ncomp:2 * ncomp]
-        dun = Vn[..., ncomp:2 * ncomp]
-        Do = Vo[..., -1:]
-        Dn = Vn[..., -1:]
-
         h = _h_bcast(bt, d, 1)
-        half = h / 2
-        grad_f = (Pn - Po) / h
-        slope_o = (2 * duo - grad_f) * half
-        slope_n = (2 * dun - grad_f) * half
-        lim = minmod(slope_n, slope_o)
-        PL = Po + lim
-        PR = Pn - lim
-        D = jnp.maximum(jnp.maximum(Do, Dn), 1e-7)
-        uf = (Po + Pn) / 2
-        if high_order:
-            uf = uf + (duo * half - dun * half) / 8
-        PL = PL * D + (1.0 - D) * uf
-        PR = PR * D + (1.0 - D) * uf
-
-        F = inviscid_fluxes_hll(fluid, PL, PR, d) * face_mask(bt, d, 1)
+        F = face_B(Vo, Vn, h, h) * face_mask(bt, d, 1)
         R_dense = -gg_dense(bt, F, d)
 
-        # sparse faces: generic MUSCL/HLL at irregular faces (one wide gather)
-        Wflat = jnp.concatenate([P, du, nu[:, None], sp[:, d:d + 1]], axis=1)
-        Wo_s, Wn_s = _sp_gather(bt, d, Wflat)
-        Po_s, Pn_s = Wo_s[:, :ncomp], Wn_s[:, :ncomp]
-        duo_s, dun_s = Wo_s[:, ncomp:2 * ncomp], Wn_s[:, ncomp:2 * ncomp]
-        Do_s, Dn_s = Wo_s[:, 2 * ncomp], Wn_s[:, 2 * ncomp]
-        so = Wo_s[:, 2 * ncomp + 1:] / 2
-        sn = Wn_s[:, 2 * ncomp + 1:] / 2
-        grad_fs = (Pn_s - Po_s) / (so + sn)
-        slo = (2 * duo_s - grad_fs) * so
-        sln = (2 * dun_s - grad_fs) * sn
-        lim_s = minmod(sln, slo)
-        PLs = Po_s + lim_s
-        PRs = Pn_s - lim_s
-        Ds = jnp.maximum(jnp.maximum(Do_s, Dn_s), 1e-7)[:, None]
-        ufs = (Po_s * sn + Pn_s * so) / (so + sn)
-        if high_order:
-            ufs = ufs + (duo_s * so - dun_s * sn) / 8
-        PLs = PLs * Ds + (1.0 - Ds) * ufs
-        PRs = PRs * Ds + (1.0 - Ds) * ufs
-        Fs = inviscid_fluxes_hll(fluid, PLs, PRs, d)
-
-        R = R + to_flat(bt, R_dense) - _sp_scatter(bt, d, Fs, True) / sp[:, d][:, None]
+        corr = interface_corrections(bt, d, V3, face_B, ncomp, signedB)
+        if bt.sp_owner[d].shape[0]:
+            W_flat = jnp.concatenate([P, du, nu[:, None]], axis=1)
+            corr = corr + to_blocks(
+                bt, _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
+            )
+        R = R + to_flat(bt, R_dense) - to_flat(bt, corr)
 
     if with_dt:
         return R, cfl / dt_bound

@@ -1,19 +1,21 @@
 """Block-structured compute tables: the TPU fast path compiler (host side).
 
 The octree mesh is a forest of uniform ``bs^nd`` Cartesian blocks
-(``src/mesher.jl:926-933`` in the reference). Everything strictly inside a
-block — and across faces between equal-size, grid-aligned neighbor blocks —
-is a REGULAR stencil: on TPU those become dense shift/slice ops at full
-vector throughput, with neighbor-block edge data fetched by one tiny gather
-over the block axis. Only the residual face set (refinement jumps, misaligned
-neighbors, outer-boundary one-sided faces) stays in gather/scatter form; it
-is a few percent of all faces and is applied as scatter-adds.
+(``src/mesher.jl:926-933`` in the reference). Face classification:
 
-This module classifies every face and emits:
-  * per dim/side: the regular neighbor-block table (or -1) + validity mask;
-  * per dim: sparse face tables (owner/neighbor flat cell ids, accumulation
-    weights for both sides) reproducing the reference's hanging-face
-    averaging (``src/ImmersedBoundary.jl:501-506,630-685``) exactly.
+  * intra-block and equal-size aligned inter-block faces -> dense shift ops
+    (neighbor edge columns fetched by one block-axis gather);
+  * outer-boundary one-sided faces -> dense "self-neighbor" sides, which
+    reproduces the reference's o == n one-sided handling
+    (``src/ImmersedBoundary.jl:648-667``) with zero extra work;
+  * 2:1 refinement interfaces -> structured block-column ops: each interface
+    couples one coarse edge column with the edge columns of exactly two
+    (2D; four in 3D) fine blocks, so corrections are computed densely per
+    interface and applied with block-granular scatters. Patterns are
+    verified cell-by-cell against the actual face tables at compile time;
+  * anything else (exotic ratios, misalignment, 3D for now) -> generic
+    gather/scatter-add fallback with the reference's hanging-face averaging
+    weights (``src/ImmersedBoundary.jl:501-506``).
 """
 
 from __future__ import annotations
@@ -34,27 +36,34 @@ from .domain import Domain
 class BlockTables:
     """Static block-structured tables (device side after build).
 
-    nbr[d][s]: int32[B] same-size aligned neighbor block on side s
-      (0=minus, 1=plus) of dim d; index 0 substituted where invalid.
-    edge_valid[d][s]: float32[B] 1 where the side is dense.
+    nbr[d][s]: int32[B] neighbor block for dense sides (self for boundary
+      sides); 0 where invalid. bnd[d][s]: float32[B] 1 on one-sided boundary
+      sides (halo = own edge column). edge_valid[d][s]: float32[B].
     h: float32[B, nd] cell size per block.
-    inv_vol-like helpers are derived in the ops.
 
-    Sparse face tables per dim d:
-      sp_owner[d], sp_neighbor[d]: int32[Fs] flat cell ids (one-sided faces
-        have owner == neighbor, matching the reference's handling);
-      sp_wr[d], sp_wl[d]: float32[Fs] green-gauss accumulation weights of the
-        face for its owner's plus side / neighbor's minus side (0 where the
-        side does not accumulate it).
+    Structured 2:1 interfaces, per dim d and side s:
+      fs_block/fs_coarse/fs_off: fine-side tables (fine block, coarse
+        neighbor block, which half of the coarse column it faces);
+      cs_block/cs_fine: coarse-side tables (coarse block, the 2^(nd-1) fine
+        blocks covering its side in perpendicular order).
+
+    Generic sparse leftovers per dim (usually empty): sp_owner/sp_neighbor
+    flat cell ids, sp_wr/sp_wl accumulation weights.
     """
 
-    nbr: Tuple[Tuple[jnp.ndarray, ...], ...]
-    edge_valid: Tuple[Tuple[jnp.ndarray, ...], ...]
+    nbr: Tuple
+    bnd: Tuple
+    edge_valid: Tuple
     h: jnp.ndarray
-    sp_owner: Tuple[jnp.ndarray, ...]
-    sp_neighbor: Tuple[jnp.ndarray, ...]
-    sp_wr: Tuple[jnp.ndarray, ...]
-    sp_wl: Tuple[jnp.ndarray, ...]
+    fs_block: Tuple
+    fs_coarse: Tuple
+    fs_off: Tuple
+    cs_block: Tuple
+    cs_fine: Tuple
+    sp_owner: Tuple
+    sp_neighbor: Tuple
+    sp_wr: Tuple
+    sp_wl: Tuple
     spacing_flat: jnp.ndarray
     n_blocks: int
     block_size: int
@@ -62,8 +71,18 @@ class BlockTables:
     n_cells: int
 
 
+def _colid(bs: int, d: int, s: int, b: int, j) -> np.ndarray:
+    """Global cell ids of block b's edge column on side s of dim d (2D).
+
+    Column index j runs over the perpendicular axis in ascending order.
+    """
+    edge = bs - 1 if s else 0
+    if d == 0:
+        return b * bs * bs + j * bs + edge
+    return b * bs * bs + edge * bs + j
+
+
 def build_block_tables(dom: Domain) -> BlockTables:
-    """Classify faces of a (single-partition) Domain into dense/sparse."""
     msh = dom.mesh
     nd = msh.ndim
     bs = int(msh.block_size)
@@ -94,7 +113,6 @@ def build_block_tables(dom: Domain) -> BlockTables:
     for d in range(nd):
         on_d = fdim == d
         tol = 0.01 * wo[:, d]
-        # perpendicular alignment + unit along-dim offset
         for dp in range(nd):
             delta = np.abs(cn[:, dp] - co[:, dp])
             if dp == d:
@@ -103,28 +121,67 @@ def build_block_tables(dom: Domain) -> BlockTables:
                 align &= ~on_d | (delta < tol)
     regular = interior & eq_size & align
 
-    # block-side classification
-    nbr = [[np.full(B, -1, np.int64) for _ in range(2)] for _ in range(nd)]
+    nbr = [[np.zeros(B, np.int64) for _ in range(2)] for _ in range(nd)]
+    bnd = [[np.zeros(B, np.float32) for _ in range(2)] for _ in range(nd)]
     edge_valid = [[np.zeros(B, np.float32) for _ in range(2)] for _ in range(nd)]
-    side_dense_face = np.zeros(fo.shape[0], dtype=bool)
+    # per-side coverage: cov_o = the face's contribution to its owner
+    # (minus-side cell) is handled; cov_n = to its neighbor. A face may be
+    # covered on one side by a structured interface and on the other by
+    # another (each 2:1 face appears in one fine-side AND one coarse-side
+    # table).
+    cov_o = intra | (fo < 0)
+    cov_n = intra | (fn < 0)
 
     inter = interior & ~intra
     n_side = bs ** (nd - 1)
+    one_sided = ~interior
+
+    fs_block = [[[] for _ in range(2)] for _ in range(nd)]
+    fs_coarse = [[[] for _ in range(2)] for _ in range(nd)]
+    fs_off = [[[] for _ in range(2)] for _ in range(nd)]
+    cs_block = [[[] for _ in range(2)] for _ in range(nd)]
+    cs_fine = [[[] for _ in range(2)] for _ in range(nd)]
+
+    structured_2to1 = nd == 2 and bs % 2 == 0
+
     for d in range(nd):
-        sel = np.nonzero(inter & (fdim == d))[0]
-        if sel.size == 0:
-            continue
-        # owner block's plus side; neighbor block's minus side
-        key_o = bo[sel]
-        key_n = bn[sel]
-        reg = regular[sel]
+        # group faces by (block, side): side 1 = block is the minus cell
+        sel_i = np.nonzero(inter & (fdim == d))[0]
+        sel_b = np.nonzero(one_sided & (fdim == d))[0]
+
+        # --- boundary one-sided sides (self halo) -------------------------
+        # owner exists, neighbor == -1 -> owner block's plus side
+        for rows, blocks, side in (
+            (sel_b[fn[sel_b] < 0], bo[sel_b[fn[sel_b] < 0]], 1),
+            (sel_b[fo[sel_b] < 0], bn[sel_b[fo[sel_b] < 0]], 0),
+        ):
+            if rows.size == 0:
+                continue
+            cnt = np.bincount(blocks, minlength=B)
+            full = np.nonzero(cnt == n_side)[0]
+            isfull = np.zeros(B, bool)
+            isfull[full] = True
+            take = isfull[blocks]
+            for b in full:
+                nbr[d][side][b] = b
+                bnd[d][side][b] = 1.0
+                edge_valid[d][side][b] = 1.0
+            if side == 1:
+                cov_o[rows[take]] = True
+            else:
+                cov_n[rows[take]] = True
+
+        # --- same-size dense sides ----------------------------------------
+        key_o = bo[sel_i]
+        key_n = bn[sel_i]
+        reg = regular[sel_i]
+        marked = [np.zeros(B, bool), np.zeros(B, bool)]
         for keys, other, side in ((key_o, key_n, 1), (key_n, key_o, 0)):
             order = np.argsort(keys, kind="stable")
             ks = keys[order]
             start = np.searchsorted(ks, np.arange(B), side="left")
             end = np.searchsorted(ks, np.arange(B), side="right")
-            cnt = end - start
-            cand = np.nonzero(cnt == n_side)[0]
+            cand = np.nonzero(end - start == n_side)[0]
             for b in cand:
                 rows = order[start[b]:end[b]]
                 if not reg[rows].all():
@@ -132,36 +189,120 @@ def build_block_tables(dom: Domain) -> BlockTables:
                 nb = other[rows]
                 if (nb != nb[0]).any():
                     continue
+                marked[side][b] = True
                 nbr[d][side][b] = nb[0]
-                edge_valid[d][side][b] = 1.0
-        # a face is dense only if BOTH adjacent block sides are dense
-        dense_rows = (edge_valid[d][1][key_o] > 0) & (edge_valid[d][0][key_n] > 0)
-        side_dense_face[sel[dense_rows]] = True
-        # de-validate asymmetric sides (possible with exotic topologies)
-        sym_o = np.ones(B, bool)
-        sym_o[key_o[~dense_rows & (edge_valid[d][1][key_o] > 0)]] = False
-        edge_valid[d][1][~sym_o] = 0.0
-        nbr[d][1][~sym_o] = -1
-        sym_n = np.ones(B, bool)
-        sym_n[key_n[~dense_rows & (edge_valid[d][0][key_n] > 0)]] = False
-        edge_valid[d][0][~sym_n] = 0.0
-        nbr[d][0][~sym_n] = -1
+        # symmetric check, then mark faces
+        dense_rows = marked[1][key_o] & marked[0][key_n]
+        cov_o[sel_i[dense_rows]] = True
+        cov_n[sel_i[dense_rows]] = True
+        ok1 = np.zeros(B, bool)
+        ok1[key_o[dense_rows]] = True
+        ok0 = np.zeros(B, bool)
+        ok0[key_n[dense_rows]] = True
+        for side, ok in ((1, ok1), (0, ok0)):
+            good = marked[side] & ok
+            edge_valid[d][side][good] = 1.0
+            nbr[d][side][~good & marked[side]] = 0
 
-    # consistency: a face is dense iff owner's plus AND neighbor's minus
-    # sides are both dense (symmetric by construction; assert on debug)
-    dense = intra | side_dense_face
+        # --- structured 2:1 interfaces (2D) -------------------------------
+        if structured_2to1:
+            # fine side: cell is half the size of the other
+            for side in (0, 1):
+                cov_side = cov_o if side == 1 else cov_n
+                rem = sel_i[~cov_side[sel_i]]
+                # side s of block b: b's cells are the (s? minus : plus)...
+                # side==1: b is the owner(minus-coordinate) block
+                mine = fo[rem] if side == 1 else fn[rem]
+                theirs = fn[rem] if side == 1 else fo[rem]
+                bm = mine // npb
+                btheirs = theirs // npb
+                w_m = widths[mine, d]
+                w_t = widths[theirs, d]
 
-    # ---- sparse tables ---------------------------------------------------
+                # fine side: my cells are half-size; single face per cell
+                is_fine = np.isclose(w_t, 2 * w_m, rtol=1e-3)
+                order = np.argsort(bm, kind="stable")
+                ks = bm[order]
+                start = np.searchsorted(ks, np.arange(B), side="left")
+                end = np.searchsorted(ks, np.arange(B), side="right")
+                for b in np.nonzero(end - start == n_side)[0]:
+                    rows = order[start[b]:end[b]]
+                    rr = rem[rows]
+                    if not is_fine[rows].all():
+                        continue
+                    cb = btheirs[rows]
+                    if (cb != cb[0]).any():
+                        continue
+                    cbk = int(cb[0])
+                    # expected pattern for off in {0, 1}
+                    j = np.arange(bs)
+                    my_ids = _colid(bs, d, side, b, j)
+                    got = dict(zip(mine[rows], theirs[rows]))
+                    if set(got.keys()) != set(my_ids.tolist()):
+                        continue
+                    for off in (0, 1):
+                        exp = _colid(bs, d, 1 - side, cbk,
+                                     off * (bs // 2) + j // 2)
+                        if all(got[m] == e for m, e in zip(my_ids, exp)):
+                            fs_block[d][side].append(b)
+                            fs_coarse[d][side].append(cbk)
+                            fs_off[d][side].append(off)
+                            cov_side[rr] = True
+                            break
+
+            for side in (0, 1):
+                cov_side = cov_o if side == 1 else cov_n
+                rem = sel_i[~cov_side[sel_i]]
+                # coarse side: my cells are double-size; 2 faces per cell
+                mine = fo[rem] if side == 1 else fn[rem]
+                theirs = fn[rem] if side == 1 else fo[rem]
+                bm = mine // npb
+                btheirs = theirs // npb
+                w_m = widths[mine, d]
+                w_t = widths[theirs, d]
+                is_coarse = np.isclose(w_m, 2 * w_t, rtol=1e-3)
+                order = np.argsort(bm, kind="stable")
+                ks = bm[order]
+                start = np.searchsorted(ks, np.arange(B), side="left")
+                end = np.searchsorted(ks, np.arange(B), side="right")
+                for b in np.nonzero(end - start == 2 * n_side)[0]:
+                    rows = order[start[b]:end[b]]
+                    rr = rem[rows]
+                    if not is_coarse[rows].all():
+                        continue
+                    fbs = np.unique(btheirs[rows])
+                    if fbs.size != 2:
+                        continue
+                    # order fine blocks by perpendicular coordinate
+                    dp = 1 - d
+                    f1, f2 = sorted(
+                        fbs.tolist(),
+                        key=lambda fb: msh.block_origins[fb, dp],
+                    )
+                    j2 = np.arange(2 * bs)
+                    my_ids = _colid(bs, d, side, b, j2 // 2)
+                    fb_of = np.where(j2 < bs, f1, f2)
+                    exp = np.array([
+                        _colid(bs, d, 1 - side, fb_of[k], j2[k] % bs)
+                        for k in range(2 * bs)
+                    ])
+                    pairs = set(zip(mine[rows].tolist(),
+                                    theirs[rows].tolist()))
+                    if pairs == set(zip(my_ids.tolist(), exp.tolist())):
+                        cs_block[d][side].append(b)
+                        cs_fine[d][side].append((f1, f2))
+                        cov_side[rr] = True
+
+    # ---- generic sparse leftovers -----------------------------------------
     sp_owner, sp_neighbor, sp_wr, sp_wl = [], [], [], []
     for d in range(nd):
-        sel = np.nonzero((fdim == d) & ~dense)[0]
+        sel = np.nonzero((fdim == d) & (~cov_o | ~cov_n))[0]
         o_g = fo[sel]
         n_g = fn[sel]
-        add_right = o_g >= 0
-        add_left = n_g >= 0
+        add_right = ~cov_o[sel] & (o_g >= 0)
+        add_left = ~cov_n[sel] & (n_g >= 0)
         o_f = np.where(o_g < 0, n_g, o_g)
         n_f = np.where(n_g < 0, o_f, n_g)
-        # averaging weights 1/n over the cell's sparse faces on that side
         w_r = np.zeros(sel.size, np.float32)
         w_l = np.zeros(sel.size, np.float32)
         cnt_r = np.bincount(o_f[add_right], minlength=N)
@@ -175,15 +316,36 @@ def build_block_tables(dom: Domain) -> BlockTables:
 
     h = (msh.block_widths / bs).astype(np.float32)
 
+    def i32(x):
+        return np.asarray(x, dtype=np.int32)
+
     tables = BlockTables(
-        nbr=tuple(
-            tuple(np.maximum(nbr[d][s], 0).astype(np.int32) for s in range(2))
-            for d in range(nd)
-        ),
+        nbr=tuple(tuple(i32(nbr[d][s]) for s in range(2)) for d in range(nd)),
+        bnd=tuple(tuple(bnd[d][s] for s in range(2)) for d in range(nd)),
         edge_valid=tuple(
             tuple(edge_valid[d][s] for s in range(2)) for d in range(nd)
         ),
         h=h,
+        fs_block=tuple(
+            tuple(i32(fs_block[d][s]) for s in range(2)) for d in range(nd)
+        ),
+        fs_coarse=tuple(
+            tuple(i32(fs_coarse[d][s]) for s in range(2)) for d in range(nd)
+        ),
+        fs_off=tuple(
+            tuple(i32(fs_off[d][s]) for s in range(2)) for d in range(nd)
+        ),
+        cs_block=tuple(
+            tuple(i32(cs_block[d][s]) for s in range(2)) for d in range(nd)
+        ),
+        cs_fine=tuple(
+            tuple(
+                i32(cs_fine[d][s]).reshape(-1, 2)
+                if len(cs_fine[d][s]) else np.zeros((0, 2), np.int32)
+                for s in range(2)
+            )
+            for d in range(nd)
+        ),
         sp_owner=tuple(sp_owner),
         sp_neighbor=tuple(sp_neighbor),
         sp_wr=tuple(sp_wr),

@@ -29,12 +29,22 @@ def test_block_tables_cover_all_faces(case, bt):
     n_sparse = sum(int(np.asarray(bt.sp_owner[d]).shape[0]) for d in range(2))
     bs = bt.block_size
     B = bt.n_blocks
-    # dense faces: intra-block + valid edges
+    # dense faces: intra-block + plus-side valid edges + minus-side boundary
     n_intra = B * 2 * bs * (bs - 1)
-    n_edge = int(sum(np.asarray(bt.edge_valid[d][1]).sum() for d in range(2))) * bs
-    assert n_sparse + n_intra + n_edge == dom.face_dim.shape[0]
-    # the sparse set should be a small fraction
-    assert n_sparse < 0.35 * dom.face_dim.shape[0]
+    n_edge = int(sum(np.asarray(bt.edge_valid[d][1]).sum()
+                     + np.asarray(bt.bnd[d][0]).sum() for d in range(2))) * bs
+    # structured 2:1 faces (each covered by one fine-side and one
+    # coarse-side entry; count via fine sides, 1 face per fine edge cell)
+    n_fs = int(sum(np.asarray(bt.fs_block[d][s]).shape[0]
+                   for d in range(2) for s in range(2))) * bs
+    assert n_sparse + n_intra + n_edge + n_fs == dom.face_dim.shape[0]
+    # the structured + dense paths should cover everything on this mesh
+    assert n_sparse == 0
+    # structured interfaces must be symmetric: every fine-side face has a
+    # coarse-side counterpart covering 2 faces
+    n_cs = int(sum(np.asarray(bt.cs_block[d][s]).shape[0]
+                   for d in range(2) for s in range(2))) * 2 * bs
+    assert n_cs == n_fs
 
 
 def test_rhs_parity(case, bt):
