@@ -55,9 +55,14 @@ def pad_dim(bt: BlockTables, u3, d: int):
     def bmask(v):
         return v.reshape((bt.n_blocks,) + (1,) * (u3.ndim - 1))
 
-    halo_l = jnp.take(last, bt.nbr[d][0], axis=0)
+    def btake(slab, idx):
+        # gather whole-block rows via a 2D view (TPU-efficient row gather)
+        flat = slab.reshape(bt.n_blocks, -1)
+        return jnp.take(flat, idx, axis=0).reshape(slab.shape)
+
+    halo_l = btake(last, bt.nbr[d][0])
     halo_l = jnp.where(bmask(bt.bnd[d][0]) > 0, first, halo_l)
-    halo_r = jnp.take(first, bt.nbr[d][1], axis=0)
+    halo_r = btake(first, bt.nbr[d][1])
     halo_r = jnp.where(bmask(bt.bnd[d][1]) > 0, last, halo_r)
     return jnp.concatenate([halo_l, u3, halo_r], axis=ax)
 
@@ -108,6 +113,13 @@ def _edge(bt: BlockTables, u3, d: int, s: int):
     return jax.lax.index_in_dim(u3, idx, axis=ax, keepdims=False)
 
 
+def _edge_rows(bt: BlockTables, edge_slab, idx):
+    """Gather whole edge columns by block id via a 2D row-gather view."""
+    flat = edge_slab.reshape(bt.n_blocks, -1)
+    rows = jnp.take(flat, idx, axis=0)
+    return rows.reshape((idx.shape[0],) + edge_slab.shape[1:])
+
+
 def _expand_half(col, off, bs: int):
     """col [V, bs, C], off [V] in {0,1} -> entry j = col[off*bs/2 + j//2]."""
     low = jnp.repeat(col[:, : bs // 2], 2, axis=1)
@@ -126,22 +138,32 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
     is already divided by the accumulating cell's spacing.
     """
     bs = bt.block_size
-    grid_shape = (bt.n_blocks,) + (bs,) * bt.nd + (n_out,)
-    corr3 = jnp.zeros(grid_shape, dtype=W3.dtype)
     signed = jnp.asarray(signed_mask, dtype=W3.dtype)
     ax = _axis(bt, d)
 
+    def place(vals, inv):
+        # inverse-permutation gather: each block appears at most once per
+        # table, so "scatter" = row-gather with a dummy zero row appended
+        # (scatters are per-row-slow on TPU; row gathers are fast)
+        padded = jnp.concatenate(
+            [vals.reshape(vals.shape[0], -1),
+             jnp.zeros((1, vals.shape[1] * vals.shape[2]), vals.dtype)],
+            axis=0,
+        )
+        out = jnp.take(padded, inv, axis=0)
+        return out.reshape(bt.n_blocks, vals.shape[1], vals.shape[2])
+
+    cols = [None, None]
     for s in (0, 1):
         sgn = jnp.where(signed > 0, 1.0 if s == 1 else -1.0, 1.0)
-        col = jnp.zeros((bt.n_blocks, bs, n_out), dtype=W3.dtype)
-        any_side = False
+        col = None
+        edge_s = _edge(bt, W3, d, s)
+        edge_o = _edge(bt, W3, d, 1 - s)
 
         fsb = bt.fs_block[d][s]
         if fsb.shape[0]:
-            any_side = True
-            own = jnp.take(_edge(bt, W3, d, s), fsb, axis=0)
-            other_col = jnp.take(_edge(bt, W3, d, 1 - s),
-                                 bt.fs_coarse[d][s], axis=0)
+            own = _edge_rows(bt, edge_s, fsb)
+            other_col = _edge_rows(bt, edge_o, bt.fs_coarse[d][s])
             other = _expand_half(other_col, bt.fs_off[d][s], bs)
             hf = bt.h[:, d][fsb][:, None, None]
             hc = 2.0 * hf
@@ -149,15 +171,13 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
                 vals = face_fn(own, other, hf, hc)
             else:
                 vals = face_fn(other, own, hc, hf)
-            col = col.at[fsb].add(vals * sgn / hf)
+            col = place(vals * sgn / hf, bt.fs_inv[d][s])
 
         csb = bt.cs_block[d][s]
         if csb.shape[0]:
-            any_side = True
-            own = jnp.take(_edge(bt, W3, d, s), csb, axis=0)
-            opp = _edge(bt, W3, d, 1 - s)
-            f1 = jnp.take(opp, bt.cs_fine[d][s][:, 0], axis=0)
-            f2 = jnp.take(opp, bt.cs_fine[d][s][:, 1], axis=0)
+            own = _edge_rows(bt, edge_s, csb)
+            f1 = _edge_rows(bt, edge_o, bt.cs_fine[d][s][:, 0])
+            f2 = _edge_rows(bt, edge_o, bt.cs_fine[d][s][:, 1])
             fine = jnp.concatenate([f1, f2], axis=1)     # [Vc, 2bs, C]
             n1 = fine[:, 0::2]
             n2 = fine[:, 1::2]
@@ -170,16 +190,25 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
                 else:
                     vals = face_fn(nb, own, hf, hc)
                 tot = vals if tot is None else tot + vals
-            col = col.at[csb].add(tot * (0.5 * sgn) / hc)
+            cs_col = place(tot * (0.5 * sgn) / hc, bt.cs_inv[d][s])
+            col = cs_col if col is None else col + cs_col
 
-        if any_side:
-            idx = tuple(
-                (bs - 1 if s else 0) if a == ax else slice(None)
-                for a in range(corr3.ndim)
-            )
-            corr3 = corr3.at[idx].add(col)
+        cols[s] = col
 
-    return corr3
+    if cols[0] is None and cols[1] is None:
+        return None
+
+    # assemble the cell-grid correction by concatenation along the d-axis
+    # (int-indexed .at updates lower to slow per-row scatters on TPU)
+    zero_col = jnp.zeros((bt.n_blocks, bs, n_out), dtype=W3.dtype)
+    c0 = cols[0] if cols[0] is not None else zero_col
+    c1 = cols[1] if cols[1] is not None else zero_col
+    mid_shape = [bt.n_blocks] + [bs] * bt.nd + [n_out]
+    mid_shape[ax] = bs - 2
+    mid = jnp.zeros(mid_shape, dtype=W3.dtype)
+    return jnp.concatenate(
+        [jnp.expand_dims(c0, ax), mid, jnp.expand_dims(c1, ax)], axis=ax
+    )
 
 
 def _generic_sparse(bt: BlockTables, d: int, W_flat, face_fn: Callable,
@@ -250,21 +279,26 @@ def euler_rhs_block(
         U_dense = ugg_dense(bt, jnp.abs(fd), d)[..., 0]
 
         corr = interface_corrections(bt, d, W3, face_A, nA, signedA)
+        corr_f = None if corr is None else to_flat(bt, corr)
         if bt.sp_owner[d].shape[0]:
             W_flat = jnp.concatenate([P, S_flat[:, d:d + 1]], axis=1)
-            corr = corr + to_blocks(
-                bt, _generic_sparse(bt, d, W_flat, face_A, nA, signedA)
-            )
-        corr_f = to_flat(bt, corr)
+            gs = _generic_sparse(bt, d, W_flat, face_A, nA, signedA)
+            corr_f = gs if corr_f is None else corr_f + gs
 
-        du = to_flat(bt, du_dense) + corr_f[:, :ncomp]
-        G = to_flat(bt, G_dense) + corr_f[:, ncomp]
-        U = to_flat(bt, U_dense) + corr_f[:, ncomp + 1]
+        du = to_flat(bt, du_dense)
+        G = to_flat(bt, G_dense)
+        U = to_flat(bt, U_dense)
+        if corr_f is not None:
+            du = du + corr_f[:, :ncomp]
+            G = G + corr_f[:, ncomp]
+            U = U + corr_f[:, ncomp + 1]
         du_flat.append(du)
         nu = jnp.maximum(nu, (1e-7 + jnp.abs(G)) / (1e-7 + U))
 
         if with_dt:
-            dtb = to_flat(bt, ugg_dense(bt, sf, d))[:, 0] + corr_f[:, ncomp + 2]
+            dtb = to_flat(bt, ugg_dense(bt, sf, d))[:, 0]
+            if corr_f is not None:
+                dtb = dtb + corr_f[:, ncomp + 2]
             dt_bound = dt_bound + dtb
 
     # ---------------- pass B: MUSCL + HLL + divergence ---------------------
@@ -304,12 +338,14 @@ def euler_rhs_block(
         R_dense = -gg_dense(bt, F, d)
 
         corr = interface_corrections(bt, d, V3, face_B, ncomp, signedB)
+        corr_f = None if corr is None else to_flat(bt, corr)
         if bt.sp_owner[d].shape[0]:
             W_flat = jnp.concatenate([P, du, nu[:, None]], axis=1)
-            corr = corr + to_blocks(
-                bt, _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
-            )
-        R = R + to_flat(bt, R_dense) - to_flat(bt, corr)
+            gs = _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
+            corr_f = gs if corr_f is None else corr_f + gs
+        R = R + to_flat(bt, R_dense)
+        if corr_f is not None:
+            R = R - corr_f
 
     if with_dt:
         return R, cfl / dt_bound

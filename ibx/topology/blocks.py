@@ -58,8 +58,10 @@ class BlockTables:
     fs_block: Tuple
     fs_coarse: Tuple
     fs_off: Tuple
+    fs_inv: Tuple
     cs_block: Tuple
     cs_fine: Tuple
+    cs_inv: Tuple
     sp_owner: Tuple
     sp_neighbor: Tuple
     sp_wr: Tuple
@@ -319,6 +321,13 @@ def build_block_tables(dom: Domain) -> BlockTables:
     def i32(x):
         return np.asarray(x, dtype=np.int32)
 
+    def inverse(blocks_list):
+        # inv[b] = position of block b in the table, or V (dummy row)
+        arr = np.asarray(blocks_list, dtype=np.int64)
+        inv = np.full(B, arr.size, dtype=np.int32)
+        inv[arr] = np.arange(arr.size, dtype=np.int32)
+        return inv
+
     tables = BlockTables(
         nbr=tuple(tuple(i32(nbr[d][s]) for s in range(2)) for d in range(nd)),
         bnd=tuple(tuple(bnd[d][s] for s in range(2)) for d in range(nd)),
@@ -335,6 +344,10 @@ def build_block_tables(dom: Domain) -> BlockTables:
         fs_off=tuple(
             tuple(i32(fs_off[d][s]) for s in range(2)) for d in range(nd)
         ),
+        fs_inv=tuple(
+            tuple(inverse(fs_block[d][s]) for s in range(2))
+            for d in range(nd)
+        ),
         cs_block=tuple(
             tuple(i32(cs_block[d][s]) for s in range(2)) for d in range(nd)
         ),
@@ -344,6 +357,10 @@ def build_block_tables(dom: Domain) -> BlockTables:
                 if len(cs_fine[d][s]) else np.zeros((0, 2), np.int32)
                 for s in range(2)
             )
+            for d in range(nd)
+        ),
+        cs_inv=tuple(
+            tuple(inverse(cs_block[d][s]) for s in range(2))
             for d in range(nd)
         ),
         sp_owner=tuple(sp_owner),

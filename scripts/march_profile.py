@@ -32,18 +32,20 @@ def march_time(fn, P):
 
 
 def main():
-    case = build_rae2822(wall_h=1e-3, feature_h=5e-4, cfl=0.7)
+    case = build_rae2822(wall_h=5e-4, feature_h=2.5e-4, cfl=0.7)
     bt = build_block_tables(case.dom)
     fluid = case.fluid
     P0 = case.P0
 
-    empty = tuple(jnp.zeros((0,), jnp.int32) for _ in range(bt.nd))
-    emptyf = tuple(jnp.zeros((0,), jnp.float32) for _ in range(bt.nd))
-    bt_dense = BlockTables(
-        nbr=bt.nbr, edge_valid=bt.edge_valid, h=bt.h,
-        sp_owner=empty, sp_neighbor=empty, sp_wr=emptyf, sp_wl=emptyf,
-        spacing_flat=bt.spacing_flat, n_blocks=bt.n_blocks,
-        block_size=bt.block_size, nd=bt.nd, n_cells=bt.n_cells,
+    import dataclasses as _dc
+    e_i = tuple(tuple(jnp.zeros((0,), jnp.int32) for _ in range(2))
+                for _ in range(bt.nd))
+    e_c = tuple(tuple(jnp.zeros((0, 2), jnp.int32) for _ in range(2))
+                for _ in range(bt.nd))
+    bt_dense = _dc.replace(
+        bt,
+        fs_block=e_i, fs_coarse=e_i, fs_off=e_i,
+        cs_block=e_i, cs_fine=e_c,
     )
 
     def keepP(f):
