@@ -32,7 +32,7 @@ def march_time(fn, P):
 
 
 def main():
-    case = build_rae2822(wall_h=5e-4, feature_h=2.5e-4, cfl=0.7)
+    case = build_rae2822(wall_h=5e-4, feature_h=2.5e-4, cfl=0.7, block_size=16)
     bt = build_block_tables(case.dom)
     fluid = case.fluid
     P0 = case.P0
