@@ -51,6 +51,7 @@ def build_rae2822(
     n_partitions: int = 1,
     high_order: bool = True,
     use_blocks: bool = True,
+    scheme: str = "rk2",
 ) -> Rae2822Case:
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
@@ -96,14 +97,15 @@ def build_rae2822(
     if use_blocks and n_partitions == 1:
         # dense block-structured fast path (numerics identical to the
         # generic gather path; see tests/test_block_ops.py)
-        from ..ops.block_ops import rk2_step_block
+        from ..ops.block_ops import euler_step_block, rk2_step_block
         from ..topology.blocks import build_block_tables
 
         bt = build_block_tables(dom)
+        stepper = euler_step_block if scheme == "euler" else rk2_step_block
 
         def _one_step(P):
-            return rk2_step_block(bt, fluid, P, apply_bcs, cfl=cfl,
-                                  high_order=high_order)
+            return stepper(bt, fluid, P, apply_bcs, cfl=cfl,
+                           high_order=high_order)
     else:
         def _one_step(P):
             return rk2_step(part, fluid, P, apply_bcs, cfl=cfl,

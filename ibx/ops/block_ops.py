@@ -156,9 +156,9 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
     cols = [None, None]
     for s in (0, 1):
         sgn = jnp.where(signed > 0, 1.0 if s == 1 else -1.0, 1.0)
-        col = None
         edge_s = _edge(bt, W3, d, s)
         edge_o = _edge(bt, W3, d, 1 - s)
+        pieces = []
 
         fsb = bt.fs_block[d][s]
         if fsb.shape[0]:
@@ -171,7 +171,7 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
                 vals = face_fn(own, other, hf, hc)
             else:
                 vals = face_fn(other, own, hc, hf)
-            col = place(vals * sgn / hf, bt.fs_inv[d][s])
+            pieces.append(vals * sgn / hf)
 
         csb = bt.cs_block[d][s]
         if csb.shape[0]:
@@ -190,10 +190,13 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
                 else:
                     vals = face_fn(nb, own, hf, hc)
                 tot = vals if tot is None else tot + vals
-            cs_col = place(tot * (0.5 * sgn) / hc, bt.cs_inv[d][s])
-            col = cs_col if col is None else col + cs_col
+            pieces.append(tot * (0.5 * sgn) / hc)
 
-        cols[s] = col
+        # one placement over the disjoint fine/coarse block sets
+        cols[s] = (
+            place(jnp.concatenate(pieces, axis=0), bt.ifc_inv[d][s])
+            if pieces else None
+        )
 
     if cols[0] is None and cols[1] is None:
         return None
@@ -372,3 +375,23 @@ def rk2_step_block(
     P2 = apply_bcs(state2primitive(fluid, Q0 + dt * (R0 + R1) / 2))
     resnorm = jnp.abs(R0[:, 0]).max()
     return P2, resnorm
+
+
+def euler_step_block(
+    bt: BlockTables,
+    fluid: Fluid,
+    P,
+    apply_bcs,
+    *,
+    cfl: float = 0.4,
+    high_order: bool = True,
+):
+    """Single-stage explicit pseudo step with local time stepping — the
+    reference's own march recipe (``test/advection.jl:85-93``): one residual
+    evaluation per step."""
+    R, dt = euler_rhs_block(bt, fluid, P, high_order=high_order,
+                            with_dt=True, cfl=cfl)
+    Q = primitive2state(fluid, P) + dt[:, None] * R
+    P1 = apply_bcs(state2primitive(fluid, Q))
+    resnorm = jnp.abs(R[:, 0]).max()
+    return P1, resnorm

@@ -373,5 +373,7 @@ def sharded_impose_bc(ctx, bdry: Boundary, fn, *dargs, **kwargs):
     for a, ia, ba in zip(dargs, iargs, res):
         eta = bdry.eta.reshape(bdry.eta.shape + (1,) * (ia.ndim - 1))
         gv = eta * ia + (1.0 - eta) * ba
-        outs.append(a.at[bdry.ghost].set(gv, mode="drop"))
+        outs.append(a.at[bdry.ghost].set(
+            gv, mode="drop", unique_indices=True, indices_are_sorted=True
+        ))
     return outs[0] if len(outs) == 1 else tuple(outs)

@@ -62,6 +62,7 @@ class BlockTables:
     cs_block: Tuple
     cs_fine: Tuple
     cs_inv: Tuple
+    ifc_inv: Tuple
     sp_owner: Tuple
     sp_neighbor: Tuple
     sp_wr: Tuple
@@ -328,6 +329,16 @@ def build_block_tables(dom: Domain) -> BlockTables:
         inv[arr] = np.arange(arr.size, dtype=np.int32)
         return inv
 
+    def merged_inverse(fs_list, cs_list):
+        # one placement table over the disjoint fine/coarse block sets:
+        # fs rows first, cs rows after, dummy zero row last
+        fs = np.asarray(fs_list, dtype=np.int64)
+        cs = np.asarray(cs_list, dtype=np.int64)
+        inv = np.full(B, fs.size + cs.size, dtype=np.int32)
+        inv[fs] = np.arange(fs.size, dtype=np.int32)
+        inv[cs] = fs.size + np.arange(cs.size, dtype=np.int32)
+        return inv
+
     tables = BlockTables(
         nbr=tuple(tuple(i32(nbr[d][s]) for s in range(2)) for d in range(nd)),
         bnd=tuple(tuple(bnd[d][s] for s in range(2)) for d in range(nd)),
@@ -361,6 +372,11 @@ def build_block_tables(dom: Domain) -> BlockTables:
         ),
         cs_inv=tuple(
             tuple(inverse(cs_block[d][s]) for s in range(2))
+            for d in range(nd)
+        ),
+        ifc_inv=tuple(
+            tuple(merged_inverse(fs_block[d][s], cs_block[d][s])
+                  for s in range(2))
             for d in range(nd)
         ),
         sp_owner=tuple(sp_owner),

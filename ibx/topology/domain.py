@@ -480,7 +480,9 @@ class Domain(DomainExecutionMixin):
             for i, (ia, ba) in enumerate(zip(iargs, res)):
                 eta = bdry.eta.reshape(bdry.eta.shape + (1,) * (ia.ndim - 1))
                 gvals = eta * ia + (1.0 - eta) * ba
-                outs[i] = outs[i].at[jnp.asarray(ghost_global)].set(gvals)
+                outs[i] = outs[i].at[jnp.asarray(ghost_global)].set(
+                    gvals, unique_indices=True, indices_are_sorted=True
+                )
         return outs[0] if len(outs) == 1 else tuple(outs)
 
     def volume_integral(self, A):
