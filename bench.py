@@ -18,12 +18,14 @@ def main():
 
     from ibx.cases import build_rae2822
 
-    wall_h = float(os.environ.get("IBX_BENCH_WALL_H", "2.5e-3"))
+    wall_h = float(os.environ.get("IBX_BENCH_WALL_H", "5e-4"))
     feature_h = wall_h / 2
-    steps = int(os.environ.get("IBX_BENCH_STEPS", "50"))
+    steps = int(os.environ.get("IBX_BENCH_STEPS", "300"))
+    block_size = int(os.environ.get("IBX_BENCH_BLOCK_SIZE", "16"))
 
     t0 = time.time()
-    case = build_rae2822(wall_h=wall_h, feature_h=feature_h, cfl=0.7)
+    case = build_rae2822(wall_h=wall_h, feature_h=feature_h, cfl=0.5,
+                         block_size=block_size)
     build_s = time.time() - t0
     n = case.dom.ncells
 

@@ -70,6 +70,14 @@ def build_rae2822(
         ],
     )
 
+    # freeze cells strictly inside the airfoil (their free evolution — the
+    # reference's behavior — diverges at fine resolution and pollutes
+    # image-point stencils through the interior ghost band)
+    from ..geometry.inside import points_inside
+
+    inside = points_inside(stl, dom.centers)
+    active = jnp.asarray((~inside).astype(np.float32))
+
     fluid = make_fluid()
     T_inf = 288.15
     p_inf = 101325.0
@@ -105,11 +113,11 @@ def build_rae2822(
 
         def _one_step(P):
             return stepper(bt, fluid, P, apply_bcs, cfl=cfl,
-                           high_order=high_order)
+                           high_order=high_order, active=active)
     else:
         def _one_step(P):
             return rk2_step(part, fluid, P, apply_bcs, cfl=cfl,
-                            high_order=high_order)
+                            high_order=high_order, active=active)
 
     @jax.jit
     def step(P):

@@ -355,6 +355,12 @@ def euler_rhs_block(
     return R
 
 
+def _guard(P, p_floor=1.0):
+    """Physicality guard: floor the pressure (temperature is clamped by the
+    transforms already). Engages only on unphysical states."""
+    return P.at[..., 0].set(jnp.maximum(P[..., 0], p_floor))
+
+
 def rk2_step_block(
     bt: BlockTables,
     fluid: Fluid,
@@ -363,16 +369,21 @@ def rk2_step_block(
     *,
     cfl: float = 0.8,
     high_order: bool = True,
+    active=None,
 ):
     """Local-dt TVD-RK2 pseudo step on the block fast path (same scheme as
-    `ibx.solve.euler.rk2_step`)."""
+    `ibx.solve.euler.rk2_step`). ``active`` (float[N], 0/1) freezes cells —
+    used for cells inside solid bodies, whose free evolution (the
+    reference's behavior) can run away and pollute image stencils."""
     R0, dt = euler_rhs_block(bt, fluid, P, high_order=high_order,
                              with_dt=True, cfl=cfl)
+    if active is not None:
+        dt = dt * active
     dt = dt[:, None]
     Q0 = primitive2state(fluid, P)
-    P1 = apply_bcs(state2primitive(fluid, Q0 + dt * R0))
+    P1 = apply_bcs(_guard(state2primitive(fluid, Q0 + dt * R0)))
     R1 = euler_rhs_block(bt, fluid, P1, high_order=high_order)
-    P2 = apply_bcs(state2primitive(fluid, Q0 + dt * (R0 + R1) / 2))
+    P2 = apply_bcs(_guard(state2primitive(fluid, Q0 + dt * (R0 + R1) / 2)))
     resnorm = jnp.abs(R0[:, 0]).max()
     return P2, resnorm
 
@@ -385,13 +396,16 @@ def euler_step_block(
     *,
     cfl: float = 0.4,
     high_order: bool = True,
+    active=None,
 ):
     """Single-stage explicit pseudo step with local time stepping — the
     reference's own march recipe (``test/advection.jl:85-93``): one residual
     evaluation per step."""
     R, dt = euler_rhs_block(bt, fluid, P, high_order=high_order,
                             with_dt=True, cfl=cfl)
+    if active is not None:
+        dt = dt * active
     Q = primitive2state(fluid, P) + dt[:, None] * R
-    P1 = apply_bcs(state2primitive(fluid, Q))
+    P1 = apply_bcs(_guard(state2primitive(fluid, Q)))
     resnorm = jnp.abs(R[:, 0]).max()
     return P1, resnorm

@@ -78,12 +78,17 @@ def rk2_step(
     high_order: bool = True,
     viscous: bool = False,
     mu_t=0.0,
+    active=None,
 ):
     """One TVD-RK2 (Heun) pseudo-time step with local time stepping.
 
-    ``apply_bcs(P) -> P`` refreshes ghost rows. Returns (P_new, |R| max-norm).
+    ``apply_bcs(P) -> P`` refreshes ghost rows; ``active`` (0/1 per cell)
+    freezes cells (e.g. inside solid bodies). Returns (P_new, |R| max-norm).
     """
-    dt = local_timestep(part, fluid, P, cfl)[:, None]
+    dt = local_timestep(part, fluid, P, cfl)
+    if active is not None:
+        dt = dt * active
+    dt = dt[:, None]
 
     def rhs(P):
         return euler_rhs(part, fluid, P, high_order=high_order,
