@@ -129,8 +129,9 @@ def build_rae2822(
             return _one_step(P)[0]
         return jax.lax.fori_loop(0, n_steps, body, P)
 
-    P0 = jnp.broadcast_to(jnp.asarray(P_inf), (dom.ncells, 4))
-    P0 = apply_bcs(P0)
+    P0 = np.tile(P_inf, (dom.ncells, 1))
+    P0[inside, 2:] = 0.0      # stagnant solid interior (frozen)
+    P0 = apply_bcs(jnp.asarray(P0))
 
     return Rae2822Case(
         dom=dom, fluid=fluid, P_inf=P_inf, mach=mach, alpha=alpha_deg,

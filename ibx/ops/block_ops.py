@@ -355,10 +355,16 @@ def euler_rhs_block(
     return R
 
 
-def _guard(P, p_floor=1.0):
-    """Physicality guard: floor the pressure (temperature is clamped by the
-    transforms already). Engages only on unphysical states."""
-    return P.at[..., 0].set(jnp.maximum(P[..., 0], p_floor))
+def _guard(P, p_floor=1.0, u_max=3000.0):
+    """Physicality guard: floor the pressure and cap the velocity magnitude
+    (temperature is clamped by the transforms already). Engages only on
+    unphysical states; prevents a single bad cell (e.g. at a thin trailing
+    edge) from chain-reacting through MUSCL reconstructions."""
+    P = P.at[..., 0].set(jnp.maximum(P[..., 0], p_floor))
+    u = P[..., 2:]
+    vmag = jnp.sqrt((u ** 2).sum(axis=-1, keepdims=True))
+    scale = jnp.minimum(1.0, u_max / jnp.maximum(vmag, 1e-6))
+    return P.at[..., 2:].set(u * scale)
 
 
 def rk2_step_block(
