@@ -355,16 +355,7 @@ def euler_rhs_block(
     return R
 
 
-def _guard(P, p_floor=1.0, u_max=3000.0):
-    """Physicality guard: floor the pressure and cap the velocity magnitude
-    (temperature is clamped by the transforms already). Engages only on
-    unphysical states; prevents a single bad cell (e.g. at a thin trailing
-    edge) from chain-reacting through MUSCL reconstructions."""
-    P = P.at[..., 0].set(jnp.maximum(P[..., 0], p_floor))
-    u = P[..., 2:]
-    vmag = jnp.sqrt((u ** 2).sum(axis=-1, keepdims=True))
-    scale = jnp.minimum(1.0, u_max / jnp.maximum(vmag, 1e-6))
-    return P.at[..., 2:].set(u * scale)
+from ..physics.fluid import physicality_guard as _guard  # noqa: E402
 
 
 def rk2_step_block(

@@ -108,6 +108,18 @@ def state2primitive(fluid: Fluid, Q):
     return jnp.concatenate([p[..., None], T[..., None], u], axis=-1)
 
 
+def physicality_guard(P, p_floor=1.0, u_max=3000.0):
+    """Floor pressure and cap velocity magnitude (T is clamped by the
+    transforms). Engages only on unphysical states; keeps isolated bad
+    cells (thin trailing edges, under-resolved coarse multigrid levels)
+    from chain-reacting."""
+    P = P.at[..., 0].set(jnp.maximum(P[..., 0], p_floor))
+    u = P[..., 2:]
+    vmag = jnp.sqrt((u ** 2).sum(axis=-1, keepdims=True))
+    scale = jnp.minimum(1.0, u_max / jnp.maximum(vmag, 1e-6))
+    return P.at[..., 2:].set(u * scale)
+
+
 def pressure_coefficient(fluid: Fluid, p, p_inf: float, M_inf: float):
     """Cp = 2 (p/p_inf - 1) / (gamma M^2) (reference ``src/cfd.jl:420-426``)."""
     return 2.0 * (p / p_inf - 1.0) / (M_inf ** 2 * fluid.gamma)

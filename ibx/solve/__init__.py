@@ -1,4 +1,5 @@
 from .fas import fas
+from .fas_euler import FasEuler
 from .mgrid import Multigrid, coarsener_and_prolongator, multigrid_levels
 from .multigrid_domain import DomainHierarchy, multigrid
 from .point_implicit import (
@@ -10,7 +11,7 @@ from .point_implicit import (
 )
 
 __all__ = [
-    "fas",
+    "fas", "FasEuler",
     "Multigrid", "coarsener_and_prolongator", "multigrid_levels",
     "DomainHierarchy", "multigrid",
     "Linearization", "PIPreconditioner", "hutchinson_block_diagonal",
