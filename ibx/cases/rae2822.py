@@ -91,7 +91,7 @@ def build_rae2822(
     farfield_bc = flow_bc(fluid, P_inf)
     wall_bc = flow_bc(fluid, [p_inf, T_inf, 0.0], normal_flow=True)
 
-    def apply_bcs(P):
+    def apply_bcs_seq(P):
         P = dom.impose_bc(
             "farfield", lambda b, Pi: apply_flow_bc(farfield_bc, Pi, b.normals), P
         )
@@ -99,6 +99,48 @@ def build_rae2822(
             "wall", lambda b, Pi: apply_flow_bc(wall_bc, Pi, b.normals), P
         )
         return P
+
+    if n_partitions == 1:
+        # fused BC path: both families through ONE image-interpolation gather
+        # and ONE sorted ghost scatter (gathers/scatters are per-row-costly
+        # on TPU). Families' ghost sets are disjoint (outer box vs wall).
+        bf = dom.boundaries["farfield"][0]
+        bw = dom.boundaries["wall"][0]
+        gf = dom._ghost_global["farfield"][0]
+        gw = dom._ghost_global["wall"][0]
+        ghosts = np.concatenate([gf, gw])
+        assert np.unique(ghosts).size == ghosts.size
+        order = np.argsort(ghosts)
+
+        def cat(a, b):
+            return np.concatenate([np.asarray(a), np.asarray(b)])[order]
+
+        from ..ops.stencil import stencil_from_padded
+
+        interp = jax.device_put(stencil_from_padded(
+            cat(bf.interp.idx, bw.interp.idx),
+            cat(bf.interp.w, bw.interp.w),
+        ))
+        normals_c = jnp.asarray(cat(bf.normals, bw.normals))
+        eta_c = jnp.asarray(cat(bf.eta, bw.eta))[:, None]
+        is_wall = jnp.asarray(cat(
+            np.zeros(gf.size, np.float32), np.ones(gw.size, np.float32)
+        ))[:, None]
+        ghosts_c = jnp.asarray(np.sort(ghosts))
+
+        def apply_bcs(P):
+            Pi = interp(P)
+            r = jnp.where(
+                is_wall > 0,
+                apply_flow_bc(wall_bc, Pi, normals_c),
+                apply_flow_bc(farfield_bc, Pi, normals_c),
+            )
+            g = eta_c * Pi + (1.0 - eta_c) * r
+            return P.at[ghosts_c].set(
+                g, unique_indices=True, indices_are_sorted=True
+            )
+    else:
+        apply_bcs = apply_bcs_seq
 
     part = dom.partitions[0]
 
