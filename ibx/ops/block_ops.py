@@ -200,18 +200,33 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
 
     if cols[0] is None and cols[1] is None:
         return None
+    return cols
 
-    # assemble the cell-grid correction by concatenation along the d-axis
-    # (int-indexed .at updates lower to slow per-row scatters on TPU)
-    zero_col = jnp.zeros((bt.n_blocks, bs, n_out), dtype=W3.dtype)
-    c0 = cols[0] if cols[0] is not None else zero_col
-    c1 = cols[1] if cols[1] is not None else zero_col
-    mid_shape = [bt.n_blocks] + [bs] * bt.nd + [n_out]
-    mid_shape[ax] = bs - 2
-    mid = jnp.zeros(mid_shape, dtype=W3.dtype)
-    return jnp.concatenate(
-        [jnp.expand_dims(c0, ax), mid, jnp.expand_dims(c1, ax)], axis=ax
-    )
+
+def add_edge_cols(bt: BlockTables, grid, cols, d: int):
+    """grid [B, ..., (k)] + per-side edge columns, via ONE concatenation
+    pass (int-indexed .at updates lower to per-row scatters on TPU).
+
+    cols: (col0, col1), each [B, n_side, k] / [B, n_side] or None.
+    """
+    if cols is None:
+        return grid
+    ax = _axis(bt, d)
+    bs = bt.block_size
+    first = jax.lax.slice_in_dim(grid, 0, 1, axis=ax)
+    mid = jax.lax.slice_in_dim(grid, 1, bs - 1, axis=ax)
+    last = jax.lax.slice_in_dim(grid, bs - 1, bs, axis=ax)
+    if cols[0] is not None:
+        first = first + jnp.expand_dims(cols[0], ax)
+    if cols[1] is not None:
+        last = last + jnp.expand_dims(cols[1], ax)
+    return jnp.concatenate([first, mid, last], axis=ax)
+
+
+def _col_slice(cols, sl):
+    if cols is None:
+        return None
+    return tuple(None if c is None else c[..., sl] for c in cols)
 
 
 def _generic_sparse(bt: BlockTables, d: int, W_flat, face_fn: Callable,
@@ -281,27 +296,34 @@ def euler_rhs_block(
         G_dense = gg_dense(bt, fd, d)[..., 0]
         U_dense = ugg_dense(bt, jnp.abs(fd), d)[..., 0]
 
-        corr = interface_corrections(bt, d, W3, face_A, nA, signedA)
-        corr_f = None if corr is None else to_flat(bt, corr)
-        if bt.sp_owner[d].shape[0]:
-            W_flat = jnp.concatenate([P, S_flat[:, d:d + 1]], axis=1)
-            gs = _generic_sparse(bt, d, W_flat, face_A, nA, signedA)
-            corr_f = gs if corr_f is None else corr_f + gs
+        # structured 2:1 interface corrections land directly on the edge
+        # columns of the dense results (one concat pass per quantity)
+        cols = interface_corrections(bt, d, W3, face_A, nA, signedA)
+        du_dense = add_edge_cols(bt, du_dense,
+                                 _col_slice(cols, slice(0, ncomp)), d)
+        G_dense = add_edge_cols(bt, G_dense, _col_slice(cols, ncomp), d)
+        U_dense = add_edge_cols(bt, U_dense, _col_slice(cols, ncomp + 1), d)
 
         du = to_flat(bt, du_dense)
         G = to_flat(bt, G_dense)
         U = to_flat(bt, U_dense)
-        if corr_f is not None:
-            du = du + corr_f[:, :ncomp]
-            G = G + corr_f[:, ncomp]
-            U = U + corr_f[:, ncomp + 1]
+        if bt.sp_owner[d].shape[0]:
+            W_flat = jnp.concatenate([P, S_flat[:, d:d + 1]], axis=1)
+            gs = _generic_sparse(bt, d, W_flat, face_A, nA, signedA)
+            du = du + gs[:, :ncomp]
+            G = G + gs[:, ncomp]
+            U = U + gs[:, ncomp + 1]
         du_flat.append(du)
         nu = jnp.maximum(nu, (1e-7 + jnp.abs(G)) / (1e-7 + U))
 
         if with_dt:
-            dtb = to_flat(bt, ugg_dense(bt, sf, d))[:, 0]
-            if corr_f is not None:
-                dtb = dtb + corr_f[:, ncomp + 2]
+            dtb_dense = add_edge_cols(
+                bt, ugg_dense(bt, sf, d)[..., 0],
+                _col_slice(cols, ncomp + 2), d,
+            )
+            dtb = to_flat(bt, dtb_dense)
+            if bt.sp_owner[d].shape[0]:
+                dtb = dtb + gs[:, ncomp + 2]
             dt_bound = dt_bound + dtb
 
     # ---------------- pass B: MUSCL + HLL + divergence ---------------------
@@ -340,15 +362,14 @@ def euler_rhs_block(
         F = face_B(Vo, Vn, h, h) * face_mask(bt, d, 1)
         R_dense = -gg_dense(bt, F, d)
 
-        corr = interface_corrections(bt, d, V3, face_B, ncomp, signedB)
-        corr_f = None if corr is None else to_flat(bt, corr)
+        cols = interface_corrections(bt, d, V3, face_B, ncomp, signedB)
+        if cols is not None:
+            cols = tuple(None if c is None else -c for c in cols)
+        R_dense = add_edge_cols(bt, R_dense, cols, d)
+        R = R + to_flat(bt, R_dense)
         if bt.sp_owner[d].shape[0]:
             W_flat = jnp.concatenate([P, du, nu[:, None]], axis=1)
-            gs = _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
-            corr_f = gs if corr_f is None else corr_f + gs
-        R = R + to_flat(bt, R_dense)
-        if corr_f is not None:
-            R = R - corr_f
+            R = R - _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
 
     if with_dt:
         return R, cfl / dt_bound
