@@ -267,30 +267,38 @@ def euler_rhs_block(
     S_flat = jnp.abs(P[:, 2:2 + nd]) + a_flat[:, None]
     S3 = to_blocks(bt, S_flat)
 
-    nA = ncomp + 3  # [Pf(ncomp), fd, |fd|, sf]
-    signedA = [1.0] * (ncomp + 1) + [0.0, 0.0]
+    # the wave-speed channel (sf) is only needed when computing dt
+    nA = ncomp + (3 if with_dt else 2)  # [Pf(ncomp), fd, |fd| (, sf)]
+    signedA = [1.0] * (ncomp + 1) + [0.0] * (2 if with_dt else 1)
 
     def face_A(Wo, Wn, ho, hn):
         Po, Pn = Wo[..., :ncomp], Wn[..., :ncomp]
-        So, Sn = Wo[..., ncomp:ncomp + 1], Wn[..., ncomp:ncomp + 1]
         Pf = (Po * hn + Pn * ho) / (ho + hn)
         fd = Pn[..., 0:1] - Po[..., 0:1]
-        sf = (So * hn + Sn * ho) / (ho + hn)
-        return jnp.concatenate([Pf, fd, jnp.abs(fd), sf], axis=-1)
+        out = [Pf, fd, jnp.abs(fd)]
+        if with_dt:
+            So = Wo[..., ncomp:ncomp + 1]
+            Sn = Wn[..., ncomp:ncomp + 1]
+            out.append((So * hn + Sn * ho) / (ho + hn))
+        return jnp.concatenate(out, axis=-1)
 
     du_flat = []
     nu = jnp.full((N,), 1e-7, dtype=P.dtype)
     dt_bound = jnp.zeros((N,), dtype=P.dtype) if with_dt else None
 
     for d in range(nd):
-        W3 = jnp.concatenate([P3, S3[..., d:d + 1]], axis=-1)
+        if with_dt:
+            W3 = jnp.concatenate([P3, S3[..., d:d + 1]], axis=-1)
+        else:
+            W3 = P3
         Wp = pad_dim(bt, W3, d)
         Wo, Wn = face_lr(bt, Wp, d)
         m = face_mask(bt, d, 1)
         h = _h_bcast(bt, d, 1)
         Pf = 0.5 * (Wo[..., :ncomp] + Wn[..., :ncomp]) * m
         fd = (Wn[..., 0:1] - Wo[..., 0:1]) * m
-        sf = 0.5 * (Wo[..., ncomp:] + Wn[..., ncomp:]) * m
+        if with_dt:
+            sf = 0.5 * (Wo[..., ncomp:] + Wn[..., ncomp:]) * m
 
         du_dense = gg_dense(bt, Pf, d)
         G_dense = gg_dense(bt, fd, d)[..., 0]
@@ -308,7 +316,10 @@ def euler_rhs_block(
         G = to_flat(bt, G_dense)
         U = to_flat(bt, U_dense)
         if bt.sp_owner[d].shape[0]:
-            W_flat = jnp.concatenate([P, S_flat[:, d:d + 1]], axis=1)
+            if with_dt:
+                W_flat = jnp.concatenate([P, S_flat[:, d:d + 1]], axis=1)
+            else:
+                W_flat = P
             gs = _generic_sparse(bt, d, W_flat, face_A, nA, signedA)
             du = du + gs[:, :ncomp]
             G = G + gs[:, ncomp]
