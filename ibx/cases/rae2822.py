@@ -52,6 +52,7 @@ def build_rae2822(
     high_order: bool = True,
     use_blocks: bool = True,
     scheme: str = "rk2",
+    freeze_gradients: bool = False,
 ) -> Rae2822Case:
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
@@ -154,8 +155,11 @@ def build_rae2822(
         stepper = euler_step_block if scheme == "euler" else rk2_step_block
 
         def _one_step(P):
+            kw = {}
+            if scheme != "euler":
+                kw["freeze_gradients"] = freeze_gradients
             return stepper(bt, fluid, P, apply_bcs, cfl=cfl,
-                           high_order=high_order, active=active)
+                           high_order=high_order, active=active, **kw)
     else:
         def _one_step(P):
             return rk2_step(part, fluid, P, apply_bcs, cfl=cfl,

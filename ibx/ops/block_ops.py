@@ -256,9 +256,14 @@ def euler_rhs_block(
     high_order: bool = True,
     with_dt: bool = False,
     cfl: float = 0.8,
+    frozen=None,
 ):
     """Fused Euler dQ/dt on the block layout; numerics identical to
-    `ibx.solve.euler.euler_rhs` (MUSCL + JST blending + HLL)."""
+    `ibx.solve.euler.euler_rhs` (MUSCL + JST blending + HLL).
+
+    ``frozen``: optional (du_list, nu) from a previous evaluation — reuses
+    the gradient/sensor pass (frozen-limiter RK stages).
+    """
     nd, bs = bt.nd, bt.block_size
     N = bt.n_cells
     ncomp = P.shape[-1]
@@ -286,7 +291,9 @@ def euler_rhs_block(
     nu = jnp.full((N,), 1e-7, dtype=P.dtype)
     dt_bound = jnp.zeros((N,), dtype=P.dtype) if with_dt else None
 
-    for d in range(nd):
+    if frozen is not None:
+        du_flat, nu = frozen
+    for d in range(nd if frozen is None else 0):
         if with_dt:
             W3 = jnp.concatenate([P3, S3[..., d:d + 1]], axis=-1)
         else:
@@ -383,7 +390,7 @@ def euler_rhs_block(
             R = R - _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
 
     if with_dt:
-        return R, cfl / dt_bound
+        return R, cfl / dt_bound, (du_flat, nu)
     return R
 
 
@@ -399,19 +406,23 @@ def rk2_step_block(
     cfl: float = 0.8,
     high_order: bool = True,
     active=None,
+    freeze_gradients: bool = False,
 ):
     """Local-dt TVD-RK2 pseudo step on the block fast path (same scheme as
     `ibx.solve.euler.rk2_step`). ``active`` (float[N], 0/1) freezes cells —
     used for cells inside solid bodies, whose free evolution (the
-    reference's behavior) can run away and pollute image stencils."""
-    R0, dt = euler_rhs_block(bt, fluid, P, high_order=high_order,
-                             with_dt=True, cfl=cfl)
+    reference's behavior) can run away and pollute image stencils.
+    ``freeze_gradients`` reuses stage-1 gradients/sensor in stage 2
+    (frozen-limiter RK; saves one gradient pass per step)."""
+    R0, dt, frozen = euler_rhs_block(bt, fluid, P, high_order=high_order,
+                                     with_dt=True, cfl=cfl)
     if active is not None:
         dt = dt * active
     dt = dt[:, None]
     Q0 = primitive2state(fluid, P)
     P1 = apply_bcs(_guard(state2primitive(fluid, Q0 + dt * R0)))
-    R1 = euler_rhs_block(bt, fluid, P1, high_order=high_order)
+    R1 = euler_rhs_block(bt, fluid, P1, high_order=high_order,
+                         frozen=frozen if freeze_gradients else None)
     P2 = apply_bcs(_guard(state2primitive(fluid, Q0 + dt * (R0 + R1) / 2)))
     resnorm = jnp.abs(R0[:, 0]).max()
     return P2, resnorm
@@ -430,8 +441,8 @@ def euler_step_block(
     """Single-stage explicit pseudo step with local time stepping — the
     reference's own march recipe (``test/advection.jl:85-93``): one residual
     evaluation per step."""
-    R, dt = euler_rhs_block(bt, fluid, P, high_order=high_order,
-                            with_dt=True, cfl=cfl)
+    R, dt, _ = euler_rhs_block(bt, fluid, P, high_order=high_order,
+                               with_dt=True, cfl=cfl)
     if active is not None:
         dt = dt * active
     Q = primitive2state(fluid, P) + dt[:, None] * R

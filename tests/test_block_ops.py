@@ -79,7 +79,7 @@ def test_dt_parity(case, bt):
     dt_ref = np.asarray(jax.jit(
         lambda P: local_timestep(part, case.fluid, P, 0.7)
     )(P))
-    _, dt_blk = jax.jit(
+    _, dt_blk, _ = jax.jit(
         lambda P: bops.euler_rhs_block(bt, case.fluid, P, with_dt=True,
                                        cfl=0.7)
     )(P)
