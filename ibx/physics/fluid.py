@@ -115,8 +115,10 @@ def physicality_guard(P, p_floor=1.0, u_max=3000.0):
     from chain-reacting."""
     P = P.at[..., 0].set(jnp.maximum(P[..., 0], p_floor))
     u = P[..., 2:]
-    vmag = jnp.sqrt((u ** 2).sum(axis=-1, keepdims=True))
-    scale = jnp.minimum(1.0, u_max / jnp.maximum(vmag, 1e-6))
+    # eps inside the sqrt keeps the JVP finite at u = 0 (frozen stagnant
+    # interior cells) — sqrt'(0) is infinite otherwise
+    vmag = jnp.sqrt((u ** 2).sum(axis=-1, keepdims=True) + 1e-12)
+    scale = jnp.minimum(1.0, u_max / vmag)
     return P.at[..., 2:].set(u * scale)
 
 

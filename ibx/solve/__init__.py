@@ -1,5 +1,6 @@
 from .fas import fas
 from .fas_euler import FasEuler
+from .point_implicit_euler import point_implicit_step
 from .mgrid import Multigrid, coarsener_and_prolongator, multigrid_levels
 from .multigrid_domain import DomainHierarchy, multigrid
 from .point_implicit import (
@@ -11,7 +12,7 @@ from .point_implicit import (
 )
 
 __all__ = [
-    "fas", "FasEuler",
+    "fas", "FasEuler", "point_implicit_step",
     "Multigrid", "coarsener_and_prolongator", "multigrid_levels",
     "DomainHierarchy", "multigrid",
     "Linearization", "PIPreconditioner", "hutchinson_block_diagonal",
