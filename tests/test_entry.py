@@ -22,3 +22,28 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_driver_path():
+    """Run the dryrun in a fresh subprocess WITHOUT the conftest env.
+
+    Round 1 failed the driver's MULTICHIP gate because ``dryrun_multichip``
+    relied on pytest's conftest to force the CPU platform; the driver invokes
+    it in a bare process where jax defaults to the (single-chip) TPU plugin.
+    This reproduces the driver's invocation: no JAX_PLATFORMS / XLA_FLAGS in
+    the environment — the function itself must bootstrap the virtual mesh.
+    """
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
