@@ -105,41 +105,14 @@ def build_rae2822(
         # fused BC path: both families through ONE image-interpolation gather
         # and ONE sorted ghost scatter (gathers/scatters are per-row-costly
         # on TPU). Families' ghost sets are disjoint (outer box vs wall).
-        bf = dom.boundaries["farfield"][0]
-        bw = dom.boundaries["wall"][0]
-        gf = dom._ghost_global["farfield"][0]
-        gw = dom._ghost_global["wall"][0]
-        ghosts = np.concatenate([gf, gw])
-        assert np.unique(ghosts).size == ghosts.size
-        order = np.argsort(ghosts)
-
-        def cat(a, b):
-            return np.concatenate([np.asarray(a), np.asarray(b)])[order]
-
-        from ..ops.stencil import stencil_from_padded
-
-        interp = jax.device_put(stencil_from_padded(
-            cat(bf.interp.idx, bw.interp.idx),
-            cat(bf.interp.w, bw.interp.w),
-        ))
-        normals_c = jnp.asarray(cat(bf.normals, bw.normals))
-        eta_c = jnp.asarray(cat(bf.eta, bw.eta))[:, None]
-        is_wall = jnp.asarray(cat(
-            np.zeros(gf.size, np.float32), np.ones(gw.size, np.float32)
-        ))[:, None]
-        ghosts_c = jnp.asarray(np.sort(ghosts))
+        fb = dom.fused_boundary(["farfield", "wall"])
+        bc_fns = {
+            "farfield": lambda Pi, nrm: apply_flow_bc(farfield_bc, Pi, nrm),
+            "wall": lambda Pi, nrm: apply_flow_bc(wall_bc, Pi, nrm),
+        }
 
         def apply_bcs(P):
-            Pi = interp(P)
-            r = jnp.where(
-                is_wall > 0,
-                apply_flow_bc(wall_bc, Pi, normals_c),
-                apply_flow_bc(farfield_bc, Pi, normals_c),
-            )
-            g = eta_c * Pi + (1.0 - eta_c) * r
-            return P.at[ghosts_c].set(
-                g, unique_indices=True, indices_are_sorted=True
-            )
+            return fb(P, bc_fns)
     else:
         apply_bcs = apply_bcs_seq
 
@@ -147,33 +120,57 @@ def build_rae2822(
 
     if use_blocks and n_partitions == 1:
         # dense block-structured fast path (numerics identical to the
-        # generic gather path; see tests/test_block_ops.py)
-        from ..ops.block_ops import euler_step_block, rk2_step_block
+        # generic gather path; see tests/test_block_ops.py). The march
+        # state stays a [B, bs, bs, C] block grid end to end — flat<->block
+        # relayouts cost ~1 ms/step of HBM transposes at 881k cells — and
+        # ghost BCs go through the run-window BlockedBC (narrow-row ghost
+        # scatters cost ~43 ns/row on TPU).
+        from ..ops.block_ops import (
+            euler_step_grid, rk2_step_grid, to_blocks, to_flat,
+        )
+        from ..topology.blocked_bc import build_blocked_bc
         from ..topology.blocks import build_block_tables
 
         bt = build_block_tables(dom)
-        stepper = euler_step_block if scheme == "euler" else rk2_step_block
+        bbc = build_blocked_bc(dom, ["farfield", "wall"])
 
-        def _one_step(P):
+        def apply_bcs3(P3):
+            return bbc(P3, bc_fns)
+
+        active3 = to_blocks(bt, active[:, None])[..., 0]
+        stepper = euler_step_grid if scheme == "euler" else rk2_step_grid
+
+        def _grid_step(P3):
             kw = {}
             if scheme != "euler":
                 kw["freeze_gradients"] = freeze_gradients
-            return stepper(bt, fluid, P, apply_bcs, cfl=cfl,
-                           high_order=high_order, active=active, **kw)
+            return stepper(bt, fluid, P3, apply_bcs3, cfl=cfl,
+                           high_order=high_order, active3=active3, **kw)
+
+        def _one_step(P):
+            P3, res = _grid_step(to_blocks(bt, P))
+            return to_flat(bt, P3), res
+
+        @jax.jit
+        def march(P, n_steps):
+            def body(_, P3):
+                return _grid_step(P3)[0]
+            P3 = jax.lax.fori_loop(0, n_steps, body, to_blocks(bt, P))
+            return to_flat(bt, P3)
     else:
         def _one_step(P):
             return rk2_step(part, fluid, P, apply_bcs, cfl=cfl,
                             high_order=high_order, active=active)
 
+        @jax.jit
+        def march(P, n_steps):
+            def body(_, P):
+                return _one_step(P)[0]
+            return jax.lax.fori_loop(0, n_steps, body, P)
+
     @jax.jit
     def step(P):
         return _one_step(P)
-
-    @jax.jit
-    def march(P, n_steps):
-        def body(_, P):
-            return _one_step(P)[0]
-        return jax.lax.fori_loop(0, n_steps, body, P)
 
     P0 = np.tile(P_inf, (dom.ncells, 1))
     P0[inside, 2:] = 0.0      # stagnant solid interior (frozen)

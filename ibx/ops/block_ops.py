@@ -248,29 +248,32 @@ def _generic_sparse(bt: BlockTables, d: int, W_flat, face_fn: Callable,
     return out / sp[:, None]
 
 
-def euler_rhs_block(
+def euler_rhs_grid(
     bt: BlockTables,
     fluid: Fluid,
-    P,
+    P3,
     *,
     high_order: bool = True,
     with_dt: bool = False,
     cfl: float = 0.8,
     frozen=None,
 ):
-    """Fused Euler dQ/dt on the block layout; numerics identical to
-    `ibx.solve.euler.euler_rhs` (MUSCL + JST blending + HLL).
+    """Fused Euler dQ/dt on the block-grid state [B, bs, ..., bs, C];
+    numerics identical to `ibx.solve.euler.euler_rhs` (MUSCL + JST blending
+    + HLL). Grid-native: no flat<->block relayout copies inside the march
+    (those cost ~1 ms/step in HBM transposes at 881k cells).
 
-    ``frozen``: optional (du_list, nu) from a previous evaluation — reuses
+    ``frozen``: optional (du3_list, nu3) from a previous evaluation — reuses
     the gradient/sensor pass (frozen-limiter RK stages).
+
+    Returns R3 [B, bs.., C]; with ``with_dt`` also dt3 [B, bs..] and the
+    frozen (du3_list, nu3) grids.
     """
     nd, bs = bt.nd, bt.block_size
-    N = bt.n_cells
-    ncomp = P.shape[-1]
-    P3 = to_blocks(bt, P)
-    a_flat = speed_of_sound(fluid, P[:, 1])
-    S_flat = jnp.abs(P[:, 2:2 + nd]) + a_flat[:, None]
-    S3 = to_blocks(bt, S_flat)
+    ncomp = P3.shape[-1]
+    grid_shape = P3.shape[:-1]
+    a3 = speed_of_sound(fluid, P3[..., 1])
+    S3 = jnp.abs(P3[..., 2:2 + nd]) + a3[..., None]
 
     # the wave-speed channel (sf) is only needed when computing dt
     nA = ncomp + (3 if with_dt else 2)  # [Pf(ncomp), fd, |fd| (, sf)]
@@ -287,12 +290,12 @@ def euler_rhs_block(
             out.append((So * hn + Sn * ho) / (ho + hn))
         return jnp.concatenate(out, axis=-1)
 
-    du_flat = []
-    nu = jnp.full((N,), 1e-7, dtype=P.dtype)
-    dt_bound = jnp.zeros((N,), dtype=P.dtype) if with_dt else None
+    du_grids = []
+    nu3 = jnp.full(grid_shape + (1,), 1e-7, dtype=P3.dtype)
+    dt_bound = jnp.zeros(grid_shape, dtype=P3.dtype) if with_dt else None
 
     if frozen is not None:
-        du_flat, nu = frozen
+        du_grids, nu3 = frozen
     for d in range(nd if frozen is None else 0):
         if with_dt:
             W3 = jnp.concatenate([P3, S3[..., d:d + 1]], axis=-1)
@@ -301,56 +304,52 @@ def euler_rhs_block(
         Wp = pad_dim(bt, W3, d)
         Wo, Wn = face_lr(bt, Wp, d)
         m = face_mask(bt, d, 1)
-        h = _h_bcast(bt, d, 1)
         Pf = 0.5 * (Wo[..., :ncomp] + Wn[..., :ncomp]) * m
         fd = (Wn[..., 0:1] - Wo[..., 0:1]) * m
         if with_dt:
             sf = 0.5 * (Wo[..., ncomp:] + Wn[..., ncomp:]) * m
 
-        du_dense = gg_dense(bt, Pf, d)
-        G_dense = gg_dense(bt, fd, d)[..., 0]
-        U_dense = ugg_dense(bt, jnp.abs(fd), d)[..., 0]
+        du3 = gg_dense(bt, Pf, d)
+        G3 = gg_dense(bt, fd, d)[..., 0]
+        U3 = ugg_dense(bt, jnp.abs(fd), d)[..., 0]
 
         # structured 2:1 interface corrections land directly on the edge
         # columns of the dense results (one concat pass per quantity)
         cols = interface_corrections(bt, d, W3, face_A, nA, signedA)
-        du_dense = add_edge_cols(bt, du_dense,
-                                 _col_slice(cols, slice(0, ncomp)), d)
-        G_dense = add_edge_cols(bt, G_dense, _col_slice(cols, ncomp), d)
-        U_dense = add_edge_cols(bt, U_dense, _col_slice(cols, ncomp + 1), d)
+        du3 = add_edge_cols(bt, du3, _col_slice(cols, slice(0, ncomp)), d)
+        G3 = add_edge_cols(bt, G3, _col_slice(cols, ncomp), d)
+        U3 = add_edge_cols(bt, U3, _col_slice(cols, ncomp + 1), d)
 
-        du = to_flat(bt, du_dense)
-        G = to_flat(bt, G_dense)
-        U = to_flat(bt, U_dense)
         if bt.sp_owner[d].shape[0]:
+            P = P3.reshape(bt.n_cells, ncomp)
             if with_dt:
-                W_flat = jnp.concatenate([P, S_flat[:, d:d + 1]], axis=1)
+                W_flat = jnp.concatenate(
+                    [P, S3[..., d].reshape(bt.n_cells)[:, None]], axis=1)
             else:
                 W_flat = P
             gs = _generic_sparse(bt, d, W_flat, face_A, nA, signedA)
-            du = du + gs[:, :ncomp]
-            G = G + gs[:, ncomp]
-            U = U + gs[:, ncomp + 1]
-        du_flat.append(du)
-        nu = jnp.maximum(nu, (1e-7 + jnp.abs(G)) / (1e-7 + U))
+            du3 = du3 + gs[:, :ncomp].reshape(grid_shape + (ncomp,))
+            G3 = G3 + gs[:, ncomp].reshape(grid_shape)
+            U3 = U3 + gs[:, ncomp + 1].reshape(grid_shape)
+        du_grids.append(du3)
+        nu3 = jnp.maximum(
+            nu3, ((1e-7 + jnp.abs(G3)) / (1e-7 + U3))[..., None])
 
         if with_dt:
-            dtb_dense = add_edge_cols(
+            dtb3 = add_edge_cols(
                 bt, ugg_dense(bt, sf, d)[..., 0],
                 _col_slice(cols, ncomp + 2), d,
             )
-            dtb = to_flat(bt, dtb_dense)
             if bt.sp_owner[d].shape[0]:
-                dtb = dtb + gs[:, ncomp + 2]
-            dt_bound = dt_bound + dtb
+                dtb3 = dtb3 + gs[:, ncomp + 2].reshape(grid_shape)
+            dt_bound = dt_bound + dtb3
 
     # ---------------- pass B: MUSCL + HLL + divergence ---------------------
-    nu3 = to_blocks(bt, nu[:, None])
     signedB = [1.0] * ncomp
 
-    R = jnp.zeros_like(P)
+    R3 = jnp.zeros_like(P3)
     for d in range(nd):
-        du = du_flat[d]
+        du3 = du_grids[d]
 
         def face_B(Wo, Wn, ho, hn, d=d):
             Po, Pn = Wo[..., :ncomp], Wn[..., :ncomp]
@@ -373,7 +372,7 @@ def euler_rhs_block(
             PR = PR * D + (1.0 - D) * uf
             return inviscid_fluxes_hll(fluid, PL, PR, d)
 
-        V3 = jnp.concatenate([P3, to_blocks(bt, du), nu3], axis=-1)
+        V3 = jnp.concatenate([P3, du3, nu3], axis=-1)
         Vp = pad_dim(bt, V3, d)
         Vo, Vn = face_lr(bt, Vp, d)
         h = _h_bcast(bt, d, 1)
@@ -383,18 +382,115 @@ def euler_rhs_block(
         cols = interface_corrections(bt, d, V3, face_B, ncomp, signedB)
         if cols is not None:
             cols = tuple(None if c is None else -c for c in cols)
-        R_dense = add_edge_cols(bt, R_dense, cols, d)
-        R = R + to_flat(bt, R_dense)
+        R3 = R3 + add_edge_cols(bt, R_dense, cols, d)
         if bt.sp_owner[d].shape[0]:
-            W_flat = jnp.concatenate([P, du, nu[:, None]], axis=1)
-            R = R - _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
+            P = P3.reshape(bt.n_cells, ncomp)
+            W_flat = jnp.concatenate(
+                [P, du3.reshape(bt.n_cells, ncomp),
+                 nu3.reshape(bt.n_cells, 1)], axis=1)
+            gs = _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
+            R3 = R3 - gs.reshape(grid_shape + (ncomp,))
 
     if with_dt:
-        return R, cfl / dt_bound, (du_flat, nu)
-    return R
+        return R3, cfl / dt_bound, (du_grids, nu3)
+    return R3
+
+
+def euler_rhs_block(
+    bt: BlockTables,
+    fluid: Fluid,
+    P,
+    *,
+    high_order: bool = True,
+    with_dt: bool = False,
+    cfl: float = 0.8,
+    frozen=None,
+):
+    """Flat-state wrapper of `euler_rhs_grid` ([N, C] in / [N, C] out).
+
+    ``frozen`` here uses the flat (du_list, nu) convention of round 1.
+    """
+    P3 = to_blocks(bt, P)
+    if frozen is not None:
+        du_flat, nu = frozen
+        frozen = ([to_blocks(bt, du) for du in du_flat],
+                  to_blocks(bt, nu[:, None]))
+    out = euler_rhs_grid(bt, fluid, P3, high_order=high_order,
+                         with_dt=with_dt, cfl=cfl, frozen=frozen)
+    if with_dt:
+        R3, dt3, (du_grids, nu3) = out
+        return (
+            to_flat(bt, R3),
+            dt3.reshape(bt.n_cells),
+            ([to_flat(bt, du3) for du3 in du_grids],
+             nu3.reshape(bt.n_cells)),
+        )
+    return to_flat(bt, out)
 
 
 from ..physics.fluid import physicality_guard as _guard  # noqa: E402
+from ..physics.fluid import state2primitive_guarded as _s2p_g  # noqa: E402
+
+
+def rk2_step_grid(
+    bt: BlockTables,
+    fluid: Fluid,
+    P3,
+    apply_bcs3,
+    *,
+    cfl: float = 0.8,
+    high_order: bool = True,
+    active3=None,
+    freeze_gradients: bool = False,
+):
+    """Local-dt TVD-RK2 pseudo step, grid-native (state stays [B, bs.., C]
+    end to end; ``apply_bcs3`` maps grid -> grid). Same scheme as
+    `ibx.solve.euler.rk2_step`. ``active3`` (float[B, bs..], 0/1) freezes
+    cells — used for cells inside solid bodies, whose free evolution (the
+    reference's behavior) can run away and pollute image stencils.
+    ``freeze_gradients`` reuses stage-1 gradients/sensor in stage 2
+    (frozen-limiter RK; saves one gradient pass per step)."""
+    R0, dt3, frozen = euler_rhs_grid(bt, fluid, P3, high_order=high_order,
+                                     with_dt=True, cfl=cfl)
+    if active3 is not None:
+        dt3 = dt3 * active3
+    dt = dt3[..., None]
+    Q0 = primitive2state(fluid, P3)
+    P1 = apply_bcs3(_s2p_g(fluid, Q0 + dt * R0))
+    R1 = euler_rhs_grid(bt, fluid, P1, high_order=high_order,
+                        frozen=frozen if freeze_gradients else None)
+    P2 = apply_bcs3(_s2p_g(fluid, Q0 + dt * (R0 + R1) / 2))
+    resnorm = jnp.abs(R0[..., 0]).max()
+    return P2, resnorm
+
+
+def euler_step_grid(
+    bt: BlockTables,
+    fluid: Fluid,
+    P3,
+    apply_bcs3,
+    *,
+    cfl: float = 0.4,
+    high_order: bool = True,
+    active3=None,
+):
+    """Single-stage explicit pseudo step with local time stepping — the
+    reference's own march recipe (``test/advection.jl:85-93``): one residual
+    evaluation per step. Grid-native."""
+    R, dt3, _ = euler_rhs_grid(bt, fluid, P3, high_order=high_order,
+                               with_dt=True, cfl=cfl)
+    if active3 is not None:
+        dt3 = dt3 * active3
+    Q = primitive2state(fluid, P3) + dt3[..., None] * R
+    P1 = apply_bcs3(_s2p_g(fluid, Q))
+    resnorm = jnp.abs(R[..., 0]).max()
+    return P1, resnorm
+
+
+def _flat_bcs(bt: BlockTables, apply_bcs):
+    def apply_bcs3(P3):
+        return to_blocks(bt, apply_bcs(to_flat(bt, P3)))
+    return apply_bcs3
 
 
 def rk2_step_block(
@@ -408,24 +504,14 @@ def rk2_step_block(
     active=None,
     freeze_gradients: bool = False,
 ):
-    """Local-dt TVD-RK2 pseudo step on the block fast path (same scheme as
-    `ibx.solve.euler.rk2_step`). ``active`` (float[N], 0/1) freezes cells —
-    used for cells inside solid bodies, whose free evolution (the
-    reference's behavior) can run away and pollute image stencils.
-    ``freeze_gradients`` reuses stage-1 gradients/sensor in stage 2
-    (frozen-limiter RK; saves one gradient pass per step)."""
-    R0, dt, frozen = euler_rhs_block(bt, fluid, P, high_order=high_order,
-                                     with_dt=True, cfl=cfl)
-    if active is not None:
-        dt = dt * active
-    dt = dt[:, None]
-    Q0 = primitive2state(fluid, P)
-    P1 = apply_bcs(_guard(state2primitive(fluid, Q0 + dt * R0)))
-    R1 = euler_rhs_block(bt, fluid, P1, high_order=high_order,
-                         frozen=frozen if freeze_gradients else None)
-    P2 = apply_bcs(_guard(state2primitive(fluid, Q0 + dt * (R0 + R1) / 2)))
-    resnorm = jnp.abs(R0[:, 0]).max()
-    return P2, resnorm
+    """Flat-state wrapper of `rk2_step_grid` (P [N, C], BCs on flat state)."""
+    active3 = None if active is None else to_blocks(bt, active[:, None])[..., 0]
+    P2, resnorm = rk2_step_grid(
+        bt, fluid, to_blocks(bt, P), _flat_bcs(bt, apply_bcs),
+        cfl=cfl, high_order=high_order, active3=active3,
+        freeze_gradients=freeze_gradients,
+    )
+    return to_flat(bt, P2), resnorm
 
 
 def euler_step_block(
@@ -438,14 +524,10 @@ def euler_step_block(
     high_order: bool = True,
     active=None,
 ):
-    """Single-stage explicit pseudo step with local time stepping — the
-    reference's own march recipe (``test/advection.jl:85-93``): one residual
-    evaluation per step."""
-    R, dt, _ = euler_rhs_block(bt, fluid, P, high_order=high_order,
-                               with_dt=True, cfl=cfl)
-    if active is not None:
-        dt = dt * active
-    Q = primitive2state(fluid, P) + dt[:, None] * R
-    P1 = apply_bcs(_guard(state2primitive(fluid, Q)))
-    resnorm = jnp.abs(R[:, 0]).max()
-    return P1, resnorm
+    """Flat-state wrapper of `euler_step_grid`."""
+    active3 = None if active is None else to_blocks(bt, active[:, None])[..., 0]
+    P1, resnorm = euler_step_grid(
+        bt, fluid, to_blocks(bt, P), _flat_bcs(bt, apply_bcs),
+        cfl=cfl, high_order=high_order, active3=active3,
+    )
+    return to_flat(bt, P1), resnorm

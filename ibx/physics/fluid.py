@@ -108,18 +108,39 @@ def state2primitive(fluid: Fluid, Q):
     return jnp.concatenate([p[..., None], T[..., None], u], axis=-1)
 
 
+def state2primitive_guarded(fluid: Fluid, Q, p_floor=1.0, u_max=3000.0):
+    """`physicality_guard(state2primitive(...))` as ONE concatenation pass
+    (numerically identical; saves a full materialization of P per call)."""
+    rho = Q[..., 0]
+    E = Q[..., 1]
+    u = Q[..., 2:] / rho[..., None]
+    kin = (u ** 2).sum(axis=-1) / 2
+    p = (fluid.gamma - 1.0) * (E - rho * kin)
+    # T from the unguarded p, exactly like state2primitive -> guard
+    T = _clampT(p / (rho * fluid.R))
+    vmag = jnp.sqrt((u ** 2).sum(axis=-1, keepdims=True) + 1e-12)
+    scale = jnp.minimum(1.0, u_max / vmag)
+    return jnp.concatenate(
+        [jnp.maximum(p, p_floor)[..., None], T[..., None], u * scale],
+        axis=-1,
+    )
+
+
 def physicality_guard(P, p_floor=1.0, u_max=3000.0):
     """Floor pressure and cap velocity magnitude (T is clamped by the
     transforms). Engages only on unphysical states; keeps isolated bad
     cells (thin trailing edges, under-resolved coarse multigrid levels)
     from chain-reacting."""
-    P = P.at[..., 0].set(jnp.maximum(P[..., 0], p_floor))
     u = P[..., 2:]
     # eps inside the sqrt keeps the JVP finite at u = 0 (frozen stagnant
     # interior cells) — sqrt'(0) is infinite otherwise
     vmag = jnp.sqrt((u ** 2).sum(axis=-1, keepdims=True) + 1e-12)
     scale = jnp.minimum(1.0, u_max / vmag)
-    return P.at[..., 2:].set(u * scale)
+    # built by concatenation: channel-indexed .at[].set lowers to a slow
+    # per-row dynamic-update-slice on TPU
+    return jnp.concatenate(
+        [jnp.maximum(P[..., 0:1], p_floor), P[..., 1:2], u * scale], axis=-1
+    )
 
 
 def pressure_coefficient(fluid: Fluid, p, p_inf: float, M_inf: float):

@@ -26,14 +26,22 @@ def _flux_one_side(fluid: Fluid, P, dim):
     Components on the last axis; any leading shape.
     """
     Q = primitive2state(fluid, P)
-    p = P[..., 0]
-    F = Q.at[..., 1].add(p)        # pressure work in the energy flux
+    p = P[..., 0:1]
     u_n = _normal_velocity(P, dim)
-    F = F * u_n[..., None]
+    un = u_n[..., None]
+    # channel-indexed .at[].add lowers to slow per-row updates on TPU;
+    # build the flux by concatenation instead
+    mom = Q[..., 2:] * un
     if isinstance(dim, int):
-        F = F.at[..., 2 + dim].add(p)
+        mom = jnp.concatenate(
+            [mom[..., :dim], mom[..., dim:dim + 1] + p, mom[..., dim + 1:]],
+            axis=-1,
+        )
     else:
-        F = F.at[..., 2:].add(p[..., None] * dim)
+        mom = mom + p * dim
+    F = jnp.concatenate(
+        [Q[..., 0:1] * un, (Q[..., 1:2] + p) * un, mom], axis=-1
+    )
     return Q, F, u_n
 
 

@@ -1,0 +1,367 @@
+"""Block-structured ghost-cell BC imposition (the TPU fast path).
+
+The eta-blended ghost update (reference ``src/ImmersedBoundary.jl:1159-1247``)
+costs two row-indexed memory ops per application on TPU:
+
+  * image-point interpolation: a [G, K]-stencil gather (~5 ns/row, K*G rows);
+  * ghost write-back: a [G]-row scatter (~43 ns/row — XLA TPU scatters
+    serialize; measured 1.1 GiB/s at G = 24k).
+
+Both are restructured here around the block layout ([B, bs, .., bs, C]
+grids, `ibx.ops.block_ops`):
+
+  * interpolation gathers ONE (2 x bs)-cell patch per ghost instead of K
+    narrow rows whenever the stencil fits two adjacent block rows (~75% of
+    stencils on the RAE2822 mesh); the weighted sum runs over the patch with
+    a statically scattered weight table. Remaining stencils use per-point
+    narrow gathers.
+  * the write-back becomes: place blended ghost values into per-ghost-block
+    dense grids via run-window gathers (sorted ghosts decompose into runs of
+    consecutive cell ids = consecutive value rows AND consecutive block
+    slots, so each run is ONE wide contiguous window of the value array),
+    then scatter whole ghost-block rows (~500 wide rows instead of 24k
+    narrow ones).
+
+Numerics match `ibx.topology.domain.FusedBoundary` up to f32 summation
+order (tests/test_blocked_bc.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils import pytree_dataclass
+
+_PIB = lax.GatherScatterMode.PROMISE_IN_BOUNDS
+
+
+@pytree_dataclass(meta_fields=("names", "bs", "nd", "n_patch", "n_fb",
+                               "fb_width", "g_pad_front", "g_pad_len"))
+class BlockedBC:
+    """Fused multi-family ghost BC on the block-grid state.
+
+    Built by `build_blocked_bc`; apply with ``bc(P3, fns)`` where
+    ``fns[name](P_image, normals) -> bc values`` (same contract as
+    `FusedBoundary`).
+    """
+
+    # image interpolation
+    patch_start: jnp.ndarray   # int32[Gp, 2] (block, y0) 2-row patch starts
+    patch_w: jnp.ndarray       # f32[Gp, 2*bs] statically scattered weights
+    fb_start: jnp.ndarray      # int32[Gf*K, 1+nd] (block, y.., x) per point
+    fb_w: jnp.ndarray          # f32[Gf, K]
+    # BC data (canonical ghost order: patch ghosts first, then fallback)
+    normals: jnp.ndarray       # f32[G, nd]
+    eta: jnp.ndarray           # f32[G, 1]
+    family: jnp.ndarray        # int32[G]
+    # phase-view run placement (see `place`)
+    gblocks: jnp.ndarray       # int32[GB] sorted ghost-block ids
+    tile_row: jnp.ndarray      # int32[GB, n_tiles, T] rows into phase stack
+    tile_lo: jnp.ndarray       # int32[GB, n_tiles, T] first in-tile slot
+    tile_hi: jnp.ndarray       # int32[GB, n_tiles, T] one-past-last slot
+    ovf_src: jnp.ndarray       # int32[O] g rows of overflow ghosts
+    ovf_dst: jnp.ndarray       # int32[O] (gb * npb + slot) of those ghosts
+    ghost_mask: jnp.ndarray    # f32[GB, bs.., 1] 1 on ghost slots
+    names: Tuple[str, ...]
+    bs: int
+    nd: int
+    n_patch: int
+    n_fb: int
+    fb_width: int
+    g_pad_front: int
+    g_pad_len: int
+
+    def interpolate(self, P3):
+        """Image-point values [G, C] in canonical ghost order."""
+        bs, nd = self.bs, self.nd
+        C = P3.shape[-1]
+        parts = []
+        if self.n_patch:
+            dn = lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3),
+                collapsed_slice_dims=tuple(range(nd - 1)),
+                start_index_map=(0, nd - 1),
+            )
+            # 2D: operand [B, y, x, C], starts (b, y0), slice (1, 2, bs, C)
+            patch = lax.gather(
+                P3, self.patch_start, dn,
+                slice_sizes=(1,) * (nd - 1) + (2, bs, C),
+                mode=_PIB,
+            ).reshape(self.n_patch, 2 * bs, C)
+            parts.append((patch * self.patch_w[..., None]).sum(axis=1))
+        if self.n_fb:
+            dn = lax.GatherDimensionNumbers(
+                offset_dims=(1,),
+                collapsed_slice_dims=tuple(range(1 + nd)),
+                start_index_map=tuple(range(1 + nd)),
+            )
+            pts = lax.gather(
+                P3, self.fb_start, dn,
+                slice_sizes=(1,) * (1 + nd) + (C,),
+                mode=_PIB,
+            ).reshape(self.n_fb, self.fb_width, C)
+            parts.append((pts * self.fb_w[..., None]).sum(axis=1))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    def place(self, g):
+        """[G, C] canonical-order values -> dense [GB, bs.., C] grids.
+
+        Sorted ghosts decompose into runs of consecutive cell ids =
+        consecutive value rows AND consecutive block slots, so placement is
+        window extraction at static offsets. XLA gathers with partial slice
+        sizes serialize into per-row dynamic-slice loops on TPU (~0.5 us per
+        row!), so windows are read as FULL rows of a 16-phase shifted view
+        stack: phase p is the contiguous reslice g_flat[p*C:] viewed as
+        [M, 16*C] rows; any 16-aligned tile of a run is one row of one
+        phase. Per (block, 16-slot tile, covering run): one `take` row plus
+        an interval mask.
+        """
+        C = g.shape[-1]
+        GB, n_tiles, T = self.tile_row.shape
+        g_flat = jnp.concatenate([
+            jnp.zeros((self.g_pad_front, C), g.dtype),
+            g,
+            jnp.zeros((self.g_pad_len - self.g_pad_front - g.shape[0], C),
+                      g.dtype),
+        ]).reshape(-1)
+        M = (self.g_pad_len - 16) // 16
+        phases = jnp.stack(
+            [lax.dynamic_slice_in_dim(g_flat, p * C, M * 16 * C)
+             .reshape(M, 16 * C) for p in range(16)]
+        ).reshape(16 * M, 16 * C)
+        rows = jnp.take(phases, self.tile_row.reshape(-1), axis=0)
+        rows = rows.reshape(GB, n_tiles, T, 16, C)
+        j = jnp.arange(16, dtype=jnp.int32)
+        m = ((j >= self.tile_lo[..., None]) & (j < self.tile_hi[..., None]))
+        placed = (rows * m[..., None].astype(g.dtype)).sum(axis=2)
+        if self.ovf_src.shape[0]:
+            # rare ghosts beyond T covering runs per tile: plain row scatter
+            placed = placed.reshape(GB * n_tiles * 16, C).at[self.ovf_dst].set(
+                jnp.take(g, self.ovf_src, axis=0),
+                unique_indices=True, indices_are_sorted=True,
+            ).reshape(GB, n_tiles, 16, C)
+        return placed.reshape((GB,) + (self.bs,) * self.nd + (C,))
+
+    def __call__(self, P3, fns: Dict[str, Callable]):
+        """Apply all families' BCs; returns the updated grid state."""
+        Pi = self.interpolate(P3)
+        r = None
+        for i, name in enumerate(self.names):
+            ri = fns[name](Pi, self.normals)
+            sel = (self.family == i)[:, None]
+            r = ri if r is None else jnp.where(sel, ri, r)
+        g = self.eta * Pi + (1.0 - self.eta) * r
+        placed = self.place(g)
+
+        nd, bs = self.nd, self.bs
+        C = P3.shape[-1]
+        dn = lax.GatherDimensionNumbers(
+            offset_dims=tuple(range(1, nd + 2)),
+            collapsed_slice_dims=(0,), start_index_map=(0,),
+        )
+        old = lax.gather(
+            P3, self.gblocks[:, None], dn,
+            slice_sizes=(1,) + (bs,) * nd + (C,), mode=_PIB,
+        )
+        new = self.ghost_mask * placed + (1.0 - self.ghost_mask) * old
+        return P3.at[self.gblocks].set(
+            new, unique_indices=True, indices_are_sorted=True
+        )
+
+
+def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
+    """Host compiler: fuse ``names`` families into a BlockedBC.
+
+    Requires a single-partition domain (global index space).
+    """
+    if dom.n_partitions != 1:
+        raise ValueError("build_blocked_bc requires n_partitions == 1")
+    msh = dom.mesh
+    bs = int(msh.block_size)
+    nd = msh.ndim
+    npb = bs ** nd
+    names = list(names)
+
+    ghost_l, idx_l, w_l, nrm_l, eta_l, fam_l = [], [], [], [], [], []
+    for i, name in enumerate(names):
+        hb = dom._host_boundaries[name]
+        ghost_l.append(hb.ghosts)
+        idx_l.append(hb.interp_idx)
+        w_l.append(hb.interp_w)
+        nrm_l.append(hb.normals)
+        eta_l.append(hb.ghost_distances / hb.image_distances)
+        fam_l.append(np.full(hb.ghosts.size, i, dtype=np.int32))
+    ghosts = np.concatenate(ghost_l)
+    if np.unique(ghosts).size != ghosts.size:
+        raise ValueError("fused families share ghost cells")
+    K = max(a.shape[1] for a in idx_l)
+
+    def padk(a, repeat_first):
+        if a.shape[1] == K:
+            return a
+        fill = a[:, :1] if repeat_first else np.zeros_like(a[:, :1])
+        return np.concatenate(
+            [a] + [fill] * (K - a.shape[1]), axis=1)
+
+    idx = np.concatenate([padk(a, True) for a in idx_l])
+    w = np.concatenate([padk(a, False) for a in w_l]).astype(np.float32)
+    normals = np.concatenate(nrm_l).astype(np.float32)
+    eta = np.concatenate(eta_l).astype(np.float32)
+    family = np.concatenate(fam_l)
+
+    blk = ghosts // npb
+    within = ghosts % npb
+
+    # ---- patch eligibility (2-row window; 2D only for now) ---------------
+    if nd == 2:
+        sblk = idx // npb
+        same = (sblk == sblk[:, :1]).all(axis=1)
+        rows = (idx % npb) // bs
+        eligible = same & ((rows.max(axis=1) - rows.min(axis=1)) <= 1)
+    else:
+        eligible = np.zeros(ghosts.size, dtype=bool)
+
+    # canonical order: patch ghosts first, then fallback; id-sorted within
+    order = np.lexsort((ghosts, (~eligible).astype(np.int8)))
+    ghosts_c = ghosts[order]
+    idx_c = idx[order]
+    w_c = w[order]
+    elig_c = eligible[order]
+    blk_c = blk[order]
+    within_c = within[order]
+    Gp = int(elig_c.sum())
+    G = ghosts.size
+    Gf = G - Gp
+
+    # ---- patch tables ------------------------------------------------------
+    if Gp:
+        pidx = idx_c[:Gp]
+        pw = w_c[:Gp]
+        pb = (pidx[:, 0] // npb).astype(np.int32)
+        prow = (pidx % npb) // bs
+        pcol = (pidx % npb) % bs
+        y0 = np.minimum(prow.min(axis=1), bs - 2).astype(np.int32)
+        patch_start = np.stack([pb, y0], axis=1).astype(np.int32)
+        patch_w = np.zeros((Gp, 2 * bs), dtype=np.float32)
+        rr = (prow - y0[:, None]) * bs + pcol
+        np.add.at(patch_w, (np.arange(Gp)[:, None], rr), pw)
+    else:
+        patch_start = np.zeros((0, 2), np.int32)
+        patch_w = np.zeros((0, 2 * bs), np.float32)
+
+    # ---- fallback tables ---------------------------------------------------
+    if Gf:
+        fidx = idx_c[Gp:]
+        fb_w = w_c[Gp:]
+        coords = [fidx // npb]
+        rem = fidx % npb
+        for d in range(nd - 1, -1, -1):
+            coords.append(rem // (bs ** d))
+            rem = rem % (bs ** d)
+        fb_start = np.stack(
+            [c.reshape(-1) for c in coords], axis=1).astype(np.int32)
+    else:
+        fb_start = np.zeros((0, 1 + nd), np.int32)
+        fb_w = np.zeros((0, K), np.float32)
+
+    # ---- runs -> per-(block, 16-slot tile) phase-view rows -----------------
+    n_tiles = npb // 16
+    pad_front = ((npb + 15) // 16 + 1) * 16   # window starts >= -npb
+    pad_len = ((pad_front + G + 16 * 2 + 15) // 16) * 16 + 16
+    M = (pad_len - 16) // 16
+    if G:
+        brk = np.zeros(G, dtype=bool)
+        brk[0] = True
+        if G > 1:
+            brk[1:] = (
+                (np.diff(ghosts_c) != 1)
+                | (np.diff(blk_c) != 0)
+                | (np.diff(elig_c.astype(np.int8)) != 0)
+            )
+        starts = np.nonzero(brk)[0]
+        lens = np.diff(np.concatenate([starts, [G]]))
+        run_blk = blk_c[starts]
+        run_s0 = within_c[starts]
+        gblocks = np.unique(run_blk)
+        g2gb = {int(b): i for i, b in enumerate(gblocks)}
+        GB = gblocks.size
+        # entries[(gb, tile)] -> list of (phase_row, lo, hi, g_off_of_lo)
+        entries = {}
+        for rs0, rlen, rblk, rgoff in zip(run_s0, lens, run_blk, starts):
+            i = g2gb[int(rblk)]
+            for t in range(int(rs0) // 16, (int(rs0) + int(rlen) + 15) // 16):
+                a = pad_front + int(rgoff) - int(rs0) + 16 * t
+                row = (a % 16) * M + a // 16
+                lo = max(int(rs0) - 16 * t, 0)
+                hi = min(int(rs0) + int(rlen) - 16 * t, 16)
+                goff_lo = int(rgoff) + max(16 * t - int(rs0), 0)
+                entries.setdefault((i, t), []).append((row, lo, hi, goff_lo))
+        # T covering runs per tile handled densely; overflow (rare: >95% of
+        # padded table slots are empty at T = max) falls back to a row
+        # scatter of the remaining ghosts
+        T = min(2, max(len(v) for v in entries.values()))
+        tile_row = np.zeros((GB, n_tiles, T), np.int32)
+        tile_lo = np.zeros((GB, n_tiles, T), np.int32)
+        tile_hi = np.zeros((GB, n_tiles, T), np.int32)   # hi=0 -> empty mask
+        ovf_src, ovf_dst = [], []
+        for (i, t), ent in entries.items():
+            for j, (row, lo, hi, goff_lo) in enumerate(ent):
+                if j < T:
+                    tile_row[i, t, j] = row
+                    tile_lo[i, t, j] = lo
+                    tile_hi[i, t, j] = hi
+                else:
+                    for s in range(lo, hi):
+                        ovf_src.append(goff_lo + (s - lo))
+                        ovf_dst.append((i * n_tiles + t) * 16 + s)
+        if ovf_dst:
+            ovf_order = np.argsort(ovf_dst)
+            ovf_src = np.asarray(ovf_src, np.int32)[ovf_order]
+            ovf_dst = np.asarray(ovf_dst, np.int32)[ovf_order]
+        else:
+            ovf_src = np.zeros(0, np.int32)
+            ovf_dst = np.zeros(0, np.int32)
+        gmask = np.zeros((GB, npb), np.float32)
+        gb_of_ghost = np.array([g2gb[int(b)] for b in blk_c])
+        gmask[gb_of_ghost, within_c] = 1.0
+        gmask = gmask.reshape((GB,) + (bs,) * nd + (1,))
+    else:
+        gblocks = np.zeros((0,), np.int64)
+        tile_row = np.zeros((0, n_tiles, 1), np.int32)
+        tile_lo = np.zeros((0, n_tiles, 1), np.int32)
+        tile_hi = np.zeros((0, n_tiles, 1), np.int32)
+        ovf_src = np.zeros(0, np.int32)
+        ovf_dst = np.zeros(0, np.int32)
+        gmask = np.zeros((0,) + (bs,) * nd + (1,), np.float32)
+
+    bc = BlockedBC(
+        patch_start=patch_start,
+        patch_w=patch_w,
+        fb_start=fb_start,
+        fb_w=np.ascontiguousarray(fb_w, dtype=np.float32),
+        normals=normals[order],
+        eta=eta[order][:, None],
+        family=family[order].astype(np.int32),
+        gblocks=gblocks.astype(np.int32),
+        tile_row=tile_row,
+        tile_lo=tile_lo,
+        tile_hi=tile_hi,
+        ovf_src=ovf_src,
+        ovf_dst=ovf_dst,
+        ghost_mask=gmask,
+        names=tuple(names),
+        bs=bs,
+        nd=nd,
+        n_patch=Gp,
+        n_fb=Gf,
+        fb_width=K,
+        g_pad_front=pad_front,
+        g_pad_len=pad_len,
+    )
+    return jax.device_put(bc)

@@ -18,7 +18,8 @@ TPU-first departures from the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy.spatial import cKDTree
@@ -90,6 +91,38 @@ def surface_integral(surf: Surface, u):
     a = jnp.asarray(surf.areas)
     u = jnp.asarray(u)
     return (u * a.reshape(a.shape + (1,) * (u.ndim - 1))).sum(axis=0)
+
+
+@pytree_dataclass(meta_fields=("names",))
+class FusedBoundary:
+    """Several boundary families as one gather + one sorted scatter.
+
+    The eta-blended ghost update (reference ``src/ImmersedBoundary.jl:
+    1220-1245``) for all families in a single pass: ``family`` selects which
+    BC function's result lands on each ghost row.
+    """
+
+    ghost: jnp.ndarray      # int32[G], sorted global cell ids
+    interp: Stencil         # image-point stencil, global index space
+    normals: jnp.ndarray    # f32[G, nd]
+    eta: jnp.ndarray        # f32[G, 1]
+    family: jnp.ndarray     # int32[G] index into names
+    names: Tuple[str, ...]
+
+    def __call__(self, P, fns: Dict[str, Callable]):
+        """``fns[name](P_image, normals) -> bc values``; returns updated P."""
+        Pi = self.interp(P)
+        r = None
+        for i, name in enumerate(self.names):
+            ri = fns[name](Pi, self.normals)
+            sel = (self.family == i).reshape(
+                self.family.shape + (1,) * (Pi.ndim - 1)
+            )
+            r = ri if r is None else jnp.where(sel, ri, r)
+        g = self.eta * Pi + (1.0 - self.eta) * r
+        return P.at[self.ghost].set(
+            g, unique_indices=True, indices_are_sorted=True
+        )
 
 
 @dataclasses.dataclass
@@ -221,6 +254,12 @@ class Domain(DomainExecutionMixin):
         self.mesh = msh
         nd = msh.ndim
         self.nd = nd
+        self._verbose = bool(verbose)
+        self._t0 = time.time()
+        self._t_stage = self._t0
+        # stage name -> elapsed seconds (observability; the reference prints
+        # stage banners + wall clock, src/ImmersedBoundary.jl:544-767)
+        self.build_timings: Dict[str, float] = {}
         centers, widths, _ = get_cells(msh)
         N = centers.shape[0]
         self.ncells = N
@@ -234,6 +273,8 @@ class Domain(DomainExecutionMixin):
             hypercube_families=list(hypercube_families),
         )
 
+        self._stage("cells", f"{N} cells")
+
         if max_partition_size is not None:
             n_partitions = max(1, -(-N // max_partition_size))
         P = n_partitions
@@ -245,6 +286,7 @@ class Domain(DomainExecutionMixin):
         fo = np.concatenate([fo, ho])
         fn = np.concatenate([fn, hn])
         self.face_dim, self.face_owner, self.face_neighbor = fdim, fo, fn
+        self._stage("faces", f"{fdim.size} faces")
 
         # ---- global boundaries & surfaces ------------------------------
         tree = cKDTree(centers)
@@ -289,6 +331,12 @@ class Domain(DomainExecutionMixin):
                 ),
                 stl=stl,
             )
+
+        self._stage(
+            "boundaries",
+            f"{sum(hb.ghosts.size for hb in self._host_boundaries.values())}"
+            " ghosts",
+        )
 
         # ---- partitions -------------------------------------------------
         n_own = -(-N // P)
@@ -346,6 +394,8 @@ class Domain(DomainExecutionMixin):
             self.part_own_mask.append(own_mask)
             self._part_g2l.append(g2l)
 
+        self._stage("partitions", f"{P} partitions, n_own={n_own}")
+
         # ---- localized boundaries --------------------------------------
         # boundaries[name][p] — per-partition blocks (empty blocks possible)
         self.boundaries: Dict[str, List[Boundary]] = {}
@@ -361,6 +411,8 @@ class Domain(DomainExecutionMixin):
             self.boundaries[bname] = blocks
             self._ghost_global[bname] = ghost_globals
 
+        self._stage("localize_boundaries")
+
         # ---- single device placement pass --------------------------------
         # One bulk transfer of long-lived pytrees. Do NOT allocate/free
         # device buffers during the host compile above: odd-sized churn
@@ -370,6 +422,19 @@ class Domain(DomainExecutionMixin):
         for surf in self.surfaces.values():
             surf.interpolator = jax.device_put(surf.interpolator)
             surf.offset_interpolator = jax.device_put(surf.offset_interpolator)
+        self._stage("device_put")
+        if self._verbose:
+            print(f"[ibx.Domain] total {time.time() - self._t0:.2f}s")
+
+    def _stage(self, name: str, note: str = "") -> None:
+        """Record (and optionally print) a build-stage wall-clock."""
+        now = time.time()
+        self.build_timings[name] = now - self._t_stage
+        if self._verbose:
+            extra = f" ({note})" if note else ""
+            print(f"[ibx.Domain] {name}: "
+                  f"{self.build_timings[name]:.2f}s{extra}", flush=True)
+        self._t_stage = now
 
     # -- builders ---------------------------------------------------------
 
@@ -484,6 +549,55 @@ class Domain(DomainExecutionMixin):
                     gvals, unique_indices=True, indices_are_sorted=True
                 )
         return outs[0] if len(outs) == 1 else tuple(outs)
+
+    def fused_boundary(self, names: Sequence[str]) -> "FusedBoundary":
+        """Fuse several boundary families into ONE image-interpolation gather
+        and ONE sorted ghost scatter (gathers/scatters cost ~30-60 ns per row
+        on TPU, so batching families is a real win; see
+        ``FusedBoundary.__call__``). Ghost sets must be disjoint (they are for
+        distinct families by construction). Single-partition domains only —
+        the sharded executor localizes its own fused tables.
+        """
+        if self.n_partitions != 1:
+            raise ValueError("fused_boundary requires n_partitions == 1")
+        names = list(names)
+        ghost_list, idx_list, w_list = [], [], []
+        normal_list, eta_list, fam_list = [], [], []
+        for i, name in enumerate(names):
+            hb = self._host_boundaries[name]
+            ghost_list.append(hb.ghosts)
+            idx_list.append(hb.interp_idx)
+            w_list.append(hb.interp_w)
+            normal_list.append(hb.normals)
+            eta_list.append(hb.ghost_distances / hb.image_distances)
+            fam_list.append(np.full(hb.ghosts.size, i, dtype=np.int32))
+        ghosts = np.concatenate(ghost_list)
+        if np.unique(ghosts).size != ghosts.size:
+            raise ValueError("fused families share ghost cells")
+        order = np.argsort(ghosts)
+        K = max(a.shape[1] for a in idx_list)
+
+        def padk(a, fill):
+            if a.shape[1] == K:
+                return a
+            pad = np.repeat(a[:, :1] if fill else np.zeros_like(a[:, :1]),
+                            K - a.shape[1], axis=1)
+            return np.concatenate([a, pad], axis=1)
+
+        idx = np.concatenate([padk(a, True) for a in idx_list])[order]
+        w = np.concatenate([padk(a, False) for a in w_list])[order]
+        fb = FusedBoundary(
+            ghost=jnp.asarray(ghosts[order].astype(np.int32)),
+            interp=stencil_from_padded(idx.astype(np.int32),
+                                       w.astype(np.float32)),
+            normals=jnp.asarray(np.concatenate(normal_list)[order]),
+            eta=jnp.asarray(
+                np.concatenate(eta_list)[order].astype(np.float32)[:, None]
+            ),
+            family=jnp.asarray(np.concatenate(fam_list)[order]),
+            names=tuple(names),
+        )
+        return jax.device_put(fb)
 
     def volume_integral(self, A):
         """Cell-volume-weighted integral (reference

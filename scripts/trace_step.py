@@ -1,0 +1,48 @@
+"""Capture a jax.profiler trace of the flagship step and print top HLO ops."""
+
+import glob
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+import jax
+
+from ibx.cases import build_rae2822
+
+TRACE_DIR = "/tmp/ibx_trace"
+
+
+def main():
+    case = build_rae2822(wall_h=5e-4, feature_h=2.5e-4, cfl=0.7, block_size=16)
+    P = case.P0
+    P, _ = case.step(P)  # compile
+    jax.block_until_ready(P)
+
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(20):
+            P, _ = case.step(P)
+        jax.block_until_ready(P)
+
+    print("finite:", bool(np.isfinite(np.asarray(P)).all()))
+
+    xs = sorted(glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True))
+    print("xplanes:", xs)
+    if not xs:
+        return
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    except ImportError:
+        from xprof.convert import raw_to_tool_data as rtd
+    data, _ = rtd.xspace_to_tool_data([xs[-1]], "hlo_stats", {})
+    out = "/tmp/ibx_trace/hlo_stats.json"
+    if isinstance(data, bytes):
+        data = data.decode()
+    with open(out, "w") as f:
+        f.write(data)
+    print("wrote", out, len(data))
+
+
+if __name__ == "__main__":
+    main()
