@@ -1,8 +1,11 @@
-"""Benchmark: RAE2822 2D Euler pseudo-time march throughput on one chip.
+"""Benchmark: Euler pseudo-time march throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 North-star target (BASELINE.json): > 1e9 cell-updates/sec on a v5e-8 pod,
 i.e. 125e6 cell-updates/sec/chip; vs_baseline = value / 125e6.
+
+IBX_BENCH_CASE=rae2822 (default, BASELINE workload 2) or sphere3d
+(workload 4: 3D STL sphere, octree IB, block fast path).
 """
 
 import json
@@ -16,16 +19,23 @@ import numpy as np
 def main():
     import jax
 
-    from ibx.cases import build_rae2822
-
-    wall_h = float(os.environ.get("IBX_BENCH_WALL_H", "5e-4"))
-    feature_h = wall_h / 2
+    which = os.environ.get("IBX_BENCH_CASE", "rae2822")
     steps = int(os.environ.get("IBX_BENCH_STEPS", "300"))
-    block_size = int(os.environ.get("IBX_BENCH_BLOCK_SIZE", "16"))
 
     t0 = time.time()
-    case = build_rae2822(wall_h=wall_h, feature_h=feature_h, cfl=0.5,
-                         block_size=block_size)
+    if which == "sphere3d":
+        from ibx.cases import build_sphere3d
+
+        wall_h = float(os.environ.get("IBX_BENCH_WALL_H", "0.012"))
+        block_size = int(os.environ.get("IBX_BENCH_BLOCK_SIZE", "16"))
+        case = build_sphere3d(wall_h=wall_h, cfl=0.5, block_size=block_size)
+    else:
+        from ibx.cases import build_rae2822
+
+        wall_h = float(os.environ.get("IBX_BENCH_WALL_H", "5e-4"))
+        block_size = int(os.environ.get("IBX_BENCH_BLOCK_SIZE", "16"))
+        case = build_rae2822(wall_h=wall_h, feature_h=wall_h / 2, cfl=0.5,
+                             block_size=block_size)
     build_s = time.time() - t0
     n = case.dom.ncells
 
@@ -47,7 +57,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rae2822_euler_cell_updates_per_sec_per_chip",
+                "metric": f"{which}_euler_cell_updates_per_sec_per_chip",
                 "value": cups,
                 "unit": (
                     f"cell-updates/s/chip (cells={n}, steps={steps}, "

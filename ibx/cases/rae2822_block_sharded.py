@@ -1,0 +1,89 @@
+"""Sharded BLOCK fast-path RAE2822 Euler step (multi-device flagship).
+
+Same numerics as the single-chip grid fast path (`ibx.cases.rae2822` with
+``use_blocks=True``), executed as one shard_map over a 1-D device mesh:
+block-partitioned state, neighbor-ppermute halo exchange per RK stage /
+BC application, dense per-device RHS. Parity with the single-device march
+is enforced by tests/test_block_sharding.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel import make_device_mesh
+from ..parallel.block_sharding import ShardedBlockDomain
+from ..physics.bc import apply_flow_bc, flow_bc
+from ..physics.fluid import (
+    primitive2state,
+    state2primitive_guarded,
+)
+from ..ops.block_ops import euler_rhs_grid
+from .rae2822 import build_rae2822
+
+
+def build_rae2822_block_sharded(
+    n_devices: int,
+    *,
+    wall_h: float = 4e-2,
+    feature_h: float = 2e-2,
+    cfl: float = 0.7,
+    high_order: bool = True,
+    **kwargs,
+):
+    """Returns (sharded_block_domain, jitted step, sharded P0, case)."""
+    case = build_rae2822(
+        wall_h=wall_h, feature_h=feature_h, cfl=cfl,
+        n_partitions=1, high_order=high_order, **kwargs,
+    )
+    mesh = make_device_mesh(n_devices)
+    sbd = ShardedBlockDomain(case.dom, mesh)
+
+    fluid = case.fluid
+    farfield_bc = flow_bc(fluid, case.P_inf)
+    wall_bc = flow_bc(
+        fluid, [float(case.P_inf[0]), 288.15, 0.0], normal_flow=True,
+    )
+    bc_fns = {
+        "farfield": lambda Pi, nrm: apply_flow_bc(farfield_bc, Pi, nrm),
+        "wall": lambda Pi, nrm: apply_flow_bc(wall_bc, Pi, nrm),
+    }
+
+    from ..geometry.inside import points_inside
+
+    inside = points_inside(case.dom.mesh.distance_fields["wall"].stl,
+                           case.dom.centers)
+    active_sh = sbd.distribute(
+        (~inside).astype(np.float32)[:, None], pad_mode="zero")[..., 0]
+
+    def sharded_step(ctx, P_own, active_own):
+        def bcs(own):
+            return ctx.own(ctx.bc(ctx.exchange(own), bc_fns))
+
+        loc = ctx.exchange(P_own)
+        R0, dt3, _ = euler_rhs_grid(ctx.bt, fluid, loc, with_dt=True,
+                                    cfl=cfl, high_order=high_order)
+        R0 = ctx.own(R0)
+        dt3 = ctx.own(dt3)
+        # where(), not multiply: pad blocks have no faces -> dt3 = inf there
+        dt = jnp.where(active_own > 0, dt3, 0.0)[..., None]
+        Q0 = primitive2state(fluid, P_own)
+        P1 = bcs(state2primitive_guarded(fluid, Q0 + dt * R0))
+        R1 = ctx.own(euler_rhs_grid(ctx.bt, fluid, ctx.exchange(P1),
+                                    high_order=high_order))
+        P2 = bcs(state2primitive_guarded(fluid, Q0 + dt * (R0 + R1) / 2))
+        resnorm = ctx.pmax(jnp.abs(R0[..., 0] * active_own).max())
+        return P2, resnorm
+
+    raw = sbd.shard_fn(sharded_step)
+
+    @jax.jit
+    def step(P_sh):
+        P2, res = raw(P_sh, active_sh)
+        return P2, res[0]
+
+    P0_sh = sbd.distribute(np.asarray(case.P0))
+    return sbd, step, P0_sh, case

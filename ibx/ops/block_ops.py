@@ -127,6 +127,44 @@ def _expand_half(col, off, bs: int):
     return jnp.where((off == 1)[:, None, None], high, low)
 
 
+def _expand_coarse(col, off, bs: int, nd: int):
+    """Coarse edge plane -> values seen by the fine-side plane cells.
+
+    2D: col [V, bs, C], off in {0, 1} (which half). 3D: col [V, bs, bs, C]
+    (hi-major plane), off = off_hi * 2 + off_lo (which quadrant); the
+    quadrant is upsampled 2x per perpendicular dim.
+    """
+    if nd == 2:
+        return _expand_half(col, off, bs)
+    h = bs // 2
+    outs = []
+    for qh in (0, 1):
+        for ql in (0, 1):
+            quad = col[:, qh * h:qh * h + h, ql * h:ql * h + h]
+            outs.append(jnp.repeat(jnp.repeat(quad, 2, axis=1), 2, axis=2))
+    sel = off[:, None, None, None]
+    out = outs[0]
+    for k in (1, 2, 3):
+        out = jnp.where(sel == k, outs[k], out)
+    return out
+
+
+def _coarse_side_neighbors(planes, nd: int):
+    """Fine-block edge planes -> the 2^(nd-1) per-coarse-cell face values.
+
+    2D: planes = [f_low, f_high] each [V, bs, C]. 3D: planes hi-major
+    quadrant order, each [V, bs, bs, C]; assembles the double-resolution
+    face and strides out the 2x(2) sub-face sets.
+    """
+    if nd == 2:
+        fine = jnp.concatenate(planes, axis=1)          # [V, 2bs, C]
+        return [fine[:, 0::2], fine[:, 1::2]]
+    top = jnp.concatenate([planes[0], planes[1]], axis=2)
+    bot = jnp.concatenate([planes[2], planes[3]], axis=2)
+    p2 = jnp.concatenate([top, bot], axis=1)            # [V, 2bs, 2bs, C]
+    return [p2[:, dy::2, dx::2] for dy in (0, 1) for dx in (0, 1)]
+
+
 def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
                           n_out: int, signed_mask):
     """Structured 2:1 interface contributions as a cell-grid array.
@@ -137,7 +175,8 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
     plus side, - on its minus side); others accumulate unsigned. The result
     is already divided by the accumulating cell's spacing.
     """
-    bs = bt.block_size
+    bs, nd = bt.block_size, bt.nd
+    n_fine = 2 ** (nd - 1)
     signed = jnp.asarray(signed_mask, dtype=W3.dtype)
     ax = _axis(bt, d)
 
@@ -145,13 +184,16 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
         # inverse-permutation gather: each block appears at most once per
         # table, so "scatter" = row-gather with a dummy zero row appended
         # (scatters are per-row-slow on TPU; row gathers are fast)
+        trail = vals.shape[1:]
+        flat = vals.reshape(vals.shape[0], -1)
         padded = jnp.concatenate(
-            [vals.reshape(vals.shape[0], -1),
-             jnp.zeros((1, vals.shape[1] * vals.shape[2]), vals.dtype)],
-            axis=0,
+            [flat, jnp.zeros((1, flat.shape[1]), vals.dtype)], axis=0
         )
         out = jnp.take(padded, inv, axis=0)
-        return out.reshape(bt.n_blocks, vals.shape[1], vals.shape[2])
+        return out.reshape((bt.n_blocks,) + trail)
+
+    def hshape(blocks):
+        return bt.h[:, d][blocks].reshape((blocks.shape[0],) + (1,) * nd)
 
     cols = [None, None]
     for s in (0, 1):
@@ -164,8 +206,8 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
         if fsb.shape[0]:
             own = _edge_rows(bt, edge_s, fsb)
             other_col = _edge_rows(bt, edge_o, bt.fs_coarse[d][s])
-            other = _expand_half(other_col, bt.fs_off[d][s], bs)
-            hf = bt.h[:, d][fsb][:, None, None]
+            other = _expand_coarse(other_col, bt.fs_off[d][s], bs, nd)
+            hf = hshape(fsb)
             hc = 2.0 * hf
             if s == 1:
                 vals = face_fn(own, other, hf, hc)
@@ -176,21 +218,18 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
         csb = bt.cs_block[d][s]
         if csb.shape[0]:
             own = _edge_rows(bt, edge_s, csb)
-            f1 = _edge_rows(bt, edge_o, bt.cs_fine[d][s][:, 0])
-            f2 = _edge_rows(bt, edge_o, bt.cs_fine[d][s][:, 1])
-            fine = jnp.concatenate([f1, f2], axis=1)     # [Vc, 2bs, C]
-            n1 = fine[:, 0::2]
-            n2 = fine[:, 1::2]
-            hc = bt.h[:, d][csb][:, None, None]
+            planes = [_edge_rows(bt, edge_o, bt.cs_fine[d][s][:, q])
+                      for q in range(n_fine)]
+            hc = hshape(csb)
             hf = hc / 2.0
             tot = None
-            for nb in (n1, n2):
+            for nb in _coarse_side_neighbors(planes, nd):
                 if s == 1:
                     vals = face_fn(own, nb, hc, hf)
                 else:
                     vals = face_fn(nb, own, hf, hc)
                 tot = vals if tot is None else tot + vals
-            pieces.append(tot * (0.5 * sgn) / hc)
+            pieces.append(tot * (sgn / n_fine) / hc)
 
         # one placement over the disjoint fine/coarse block sets
         cols[s] = (

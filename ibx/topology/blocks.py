@@ -74,30 +74,79 @@ class BlockTables:
     n_cells: int
 
 
-def _colid(bs: int, d: int, s: int, b: int, j) -> np.ndarray:
-    """Global cell ids of block b's edge column on side s of dim d (2D).
+def _colid(bs: int, nd: int, d: int, s: int, b: int, j) -> np.ndarray:
+    """Global cell ids of block b's edge plane on side s of dim d.
 
-    Column index j runs over the perpendicular axis in ascending order.
+    ``j`` is the flat perpendicular index: ascending over the single
+    perpendicular dim in 2D; highest-dim-major over the two perpendicular
+    dims in 3D (matching the array order left by `_edge` in block_ops:
+    [B, z, y, x, C] minus the d axis).
     """
+    j = np.asarray(j)
     edge = bs - 1 if s else 0
-    if d == 0:
-        return b * bs * bs + j * bs + edge
-    return b * bs * bs + edge * bs + j
+    perp = [dd for dd in range(nd) if dd != d]
+    within = edge * bs ** d
+    coords = [j % bs, j // bs] if nd == 3 else [j]
+    for c, dd in zip(coords, perp):
+        within = within + c * bs ** dd
+    return b * bs ** nd + within
+
+
+def _fine_of_coarse_j(bs: int, nd: int, q: int, j) -> np.ndarray:
+    """Coarse plane index faced by fine plane cell ``j`` of quadrant ``q``.
+
+    q packs the fine block's position on the coarse face: off_lo in 2D;
+    off_hi * 2 + off_lo in 3D.
+    """
+    j = np.asarray(j)
+    h = bs // 2
+    if nd == 2:
+        return q * h + j // 2
+    c_lo, c_hi = j % bs, j // bs
+    q_lo, q_hi = q % 2, q // 2
+    return (q_hi * h + c_hi // 2) * bs + (q_lo * h + c_lo // 2)
 
 
 def build_block_tables(dom: Domain) -> BlockTables:
     msh = dom.mesh
-    nd = msh.ndim
-    bs = int(msh.block_size)
-    B = msh.n_blocks
-    npb = bs ** nd
-    N = dom.ncells
+    return jax.device_put(build_block_tables_raw(
+        nd=msh.ndim,
+        bs=int(msh.block_size),
+        B=msh.n_blocks,
+        fdim=dom.face_dim,
+        fo=dom.face_owner,
+        fn=dom.face_neighbor,
+        widths=dom.widths,
+        centers=dom.centers,
+        block_origins=msh.block_origins,
+        block_widths=msh.block_widths,
+    ))
 
-    fdim = dom.face_dim
-    fo = dom.face_owner.astype(np.int64)
-    fn = dom.face_neighbor.astype(np.int64)
-    widths = dom.widths
-    centers = dom.centers
+
+def build_block_tables_raw(
+    *,
+    nd: int,
+    bs: int,
+    B: int,
+    fdim: np.ndarray,
+    fo: np.ndarray,
+    fn: np.ndarray,
+    widths: np.ndarray,
+    centers: np.ndarray,
+    block_origins: np.ndarray,
+    block_widths: np.ndarray,
+) -> BlockTables:
+    """Host compiler from raw face/cell arrays (host-leaf pytree out).
+
+    Index space: cells 0..B*bs^nd-1 in block-major order; faces may
+    reference -1 for the outside. Used globally (`build_block_tables`) and
+    per device on localized sub-domains (`ibx.parallel.block_sharding`).
+    """
+    npb = bs ** nd
+    N = B * npb
+
+    fo = np.asarray(fo).astype(np.int64)
+    fn = np.asarray(fn).astype(np.int64)
 
     bo = np.where(fo >= 0, fo // npb, -1)
     bn = np.where(fn >= 0, fn // npb, -1)
@@ -145,7 +194,8 @@ def build_block_tables(dom: Domain) -> BlockTables:
     cs_block = [[[] for _ in range(2)] for _ in range(nd)]
     cs_fine = [[[] for _ in range(2)] for _ in range(nd)]
 
-    structured_2to1 = nd == 2 and bs % 2 == 0
+    structured_2to1 = nd in (2, 3) and bs % 2 == 0
+    n_fine = 2 ** (nd - 1)      # fine blocks per coarse 2:1 side
 
     for d in range(nd):
         # group faces by (block, side): side 1 = block is the minus cell
@@ -207,7 +257,7 @@ def build_block_tables(dom: Domain) -> BlockTables:
             edge_valid[d][side][good] = 1.0
             nbr[d][side][~good & marked[side]] = 0
 
-        # --- structured 2:1 interfaces (2D) -------------------------------
+        # --- structured 2:1 interfaces (2D + 3D) ---------------------------
         if structured_2to1:
             # fine side: cell is half the size of the other
             for side in (0, 1):
@@ -228,6 +278,7 @@ def build_block_tables(dom: Domain) -> BlockTables:
                 ks = bm[order]
                 start = np.searchsorted(ks, np.arange(B), side="left")
                 end = np.searchsorted(ks, np.arange(B), side="right")
+                j = np.arange(n_side)
                 for b in np.nonzero(end - start == n_side)[0]:
                     rows = order[start[b]:end[b]]
                     rr = rem[rows]
@@ -237,15 +288,13 @@ def build_block_tables(dom: Domain) -> BlockTables:
                     if (cb != cb[0]).any():
                         continue
                     cbk = int(cb[0])
-                    # expected pattern for off in {0, 1}
-                    j = np.arange(bs)
-                    my_ids = _colid(bs, d, side, b, j)
+                    my_ids = _colid(bs, nd, d, side, b, j)
                     got = dict(zip(mine[rows], theirs[rows]))
                     if set(got.keys()) != set(my_ids.tolist()):
                         continue
-                    for off in (0, 1):
-                        exp = _colid(bs, d, 1 - side, cbk,
-                                     off * (bs // 2) + j // 2)
+                    for off in range(n_fine):
+                        exp = _colid(bs, nd, d, 1 - side, cbk,
+                                     _fine_of_coarse_j(bs, nd, off, j))
                         if all(got[m] == e for m, e in zip(my_ids, exp)):
                             fs_block[d][side].append(b)
                             fs_coarse[d][side].append(cbk)
@@ -256,7 +305,7 @@ def build_block_tables(dom: Domain) -> BlockTables:
             for side in (0, 1):
                 cov_side = cov_o if side == 1 else cov_n
                 rem = sel_i[~cov_side[sel_i]]
-                # coarse side: my cells are double-size; 2 faces per cell
+                # coarse side: my cells are double-size; 2^(nd-1) faces/cell
                 mine = fo[rem] if side == 1 else fn[rem]
                 theirs = fn[rem] if side == 1 else fo[rem]
                 bm = mine // npb
@@ -268,32 +317,45 @@ def build_block_tables(dom: Domain) -> BlockTables:
                 ks = bm[order]
                 start = np.searchsorted(ks, np.arange(B), side="left")
                 end = np.searchsorted(ks, np.arange(B), side="right")
-                for b in np.nonzero(end - start == 2 * n_side)[0]:
+                perp = [dd for dd in range(nd) if dd != d]
+                jn = np.arange(n_fine * n_side)
+                jc = jn // n_fine               # coarse plane cell per face
+                dk = jn % n_fine                # fine sub-face within it
+                for b in np.nonzero(end - start == n_fine * n_side)[0]:
                     rows = order[start[b]:end[b]]
                     rr = rem[rows]
                     if not is_coarse[rows].all():
                         continue
                     fbs = np.unique(btheirs[rows])
-                    if fbs.size != 2:
+                    if fbs.size != n_fine:
                         continue
-                    # order fine blocks by perpendicular coordinate
-                    dp = 1 - d
-                    f1, f2 = sorted(
+                    # order fine blocks by perpendicular origin, high-major
+                    fq = sorted(
                         fbs.tolist(),
-                        key=lambda fb: msh.block_origins[fb, dp],
+                        key=lambda fb: tuple(
+                            block_origins[fb, dp] for dp in perp[::-1]
+                        ),
                     )
-                    j2 = np.arange(2 * bs)
-                    my_ids = _colid(bs, d, side, b, j2 // 2)
-                    fb_of = np.where(j2 < bs, f1, f2)
+                    my_ids = _colid(bs, nd, d, side, b, jc)
+                    h = bs // 2
+                    if nd == 2:
+                        q_of = (jc >= h).astype(np.int64)
+                        jf = (2 * jc) % bs + dk
+                    else:
+                        c_lo, c_hi = jc % bs, jc // bs
+                        q_of = 2 * (c_hi >= h) + (c_lo >= h)
+                        jf = (((2 * c_hi) % bs) + dk // 2) * bs \
+                            + ((2 * c_lo) % bs) + dk % 2
+                    fb_of = np.asarray(fq)[q_of]
                     exp = np.array([
-                        _colid(bs, d, 1 - side, fb_of[k], j2[k] % bs)
-                        for k in range(2 * bs)
+                        _colid(bs, nd, d, 1 - side, fb_of[k], jf[k])
+                        for k in range(jn.size)
                     ])
                     pairs = set(zip(mine[rows].tolist(),
                                     theirs[rows].tolist()))
                     if pairs == set(zip(my_ids.tolist(), exp.tolist())):
                         cs_block[d][side].append(b)
-                        cs_fine[d][side].append((f1, f2))
+                        cs_fine[d][side].append(tuple(fq))
                         cov_side[rr] = True
 
     # ---- generic sparse leftovers -----------------------------------------
@@ -317,7 +379,7 @@ def build_block_tables(dom: Domain) -> BlockTables:
         sp_wr.append(w_r)
         sp_wl.append(w_l)
 
-    h = (msh.block_widths / bs).astype(np.float32)
+    h = (np.asarray(block_widths) / bs).astype(np.float32)
 
     def i32(x):
         return np.asarray(x, dtype=np.int32)
@@ -364,8 +426,8 @@ def build_block_tables(dom: Domain) -> BlockTables:
         ),
         cs_fine=tuple(
             tuple(
-                i32(cs_fine[d][s]).reshape(-1, 2)
-                if len(cs_fine[d][s]) else np.zeros((0, 2), np.int32)
+                i32(cs_fine[d][s]).reshape(-1, n_fine)
+                if len(cs_fine[d][s]) else np.zeros((0, n_fine), np.int32)
                 for s in range(2)
             )
             for d in range(nd)
@@ -389,4 +451,4 @@ def build_block_tables(dom: Domain) -> BlockTables:
         nd=nd,
         n_cells=N,
     )
-    return jax.device_put(tables)
+    return tables

@@ -32,7 +32,7 @@ from ..geometry.stereolitography import Stereolitography, centers_and_normals
 from ..ops.operators import Partition
 from ..ops.stencil import Stencil, stencil_from_padded
 from ..utils import pytree_dataclass
-from .faces import hcube_faces, octree2faces
+from .faces import hcube_faces, octree2faces, octree2faces_blocks
 from .ghosts import ghosts_and_projections_hcube, ghosts_and_projections_stl
 from .interp import interpolator
 
@@ -280,7 +280,7 @@ class Domain(DomainExecutionMixin):
         P = n_partitions
 
         origins = centers - widths / 2
-        fdim, fo, fn = octree2faces(origins, widths)
+        fdim, fo, fn = octree2faces_blocks(msh, origins, widths)
         hdim, ho, hn = hcube_faces(msh.origin, msh.widths, origins, widths)
         fdim = np.concatenate([fdim, hdim])
         fo = np.concatenate([fo, ho])

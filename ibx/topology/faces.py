@@ -59,6 +59,176 @@ def octree2faces(origins: np.ndarray, widths: np.ndarray):
     )
 
 
+def plane_ids(bs: int, nd: int, d: int, s: int, b, j) -> np.ndarray:
+    """Global cell ids of block b's edge plane on side s of dim d.
+
+    ``j`` is the flat perpendicular index: ascending over the single
+    perpendicular dim in 2D; highest-dim-major over the two perpendicular
+    dims in 3D (matching the block-grid array order [B, z, y, x, C]).
+    """
+    j = np.asarray(j)
+    edge = bs - 1 if s else 0
+    perp = [dd for dd in range(nd) if dd != d]
+    within = edge * bs ** d
+    coords = [j % bs, j // bs] if nd == 3 else [j]
+    for c, dd in zip(coords, perp):
+        within = within + c * bs ** dd
+    return b * bs ** nd + within
+
+
+def coarse_plane_of_fine(bs: int, nd: int, q, j) -> np.ndarray:
+    """Coarse plane index faced by fine plane cell ``j`` of quadrant ``q``
+    (q = off_lo in 2D; off_hi * 2 + off_lo in 3D)."""
+    j = np.asarray(j)
+    q = np.asarray(q)
+    h = bs // 2
+    if nd == 2:
+        return q * h + j // 2
+    c_lo, c_hi = j % bs, j // bs
+    q_lo, q_hi = q % 2, q // 2
+    return (q_hi * h + c_hi // 2) * bs + (q_lo * h + c_lo // 2)
+
+
+def octree2faces_blocks(msh, origins: np.ndarray, widths: np.ndarray):
+    """Face detection exploiting the uniform-block mesh structure.
+
+    Same output contract as `octree2faces`, but O(cells) instead of an
+    all-cells KDTree candidate sweep (which enumerates ~60 candidate pairs
+    per cell in 3D and dominates topology compile time): intra-block faces
+    are index arithmetic; inter-block faces come from block-pair adjacency
+    (a tiny KDTree over blocks) with structural generation for aligned
+    equal-size and 2:1 interfaces. Anything else falls back to the generic
+    pair test on just the cells of the odd block pairs.
+    """
+    bs = int(msh.block_size)
+    nd = msh.ndim
+    npb = bs ** nd
+    B = msh.n_blocks
+    n_side = bs ** (nd - 1)
+    bo = np.asarray(msh.block_origins, np.float64)
+    bw = np.asarray(msh.block_widths, np.float64)
+
+    dims, owners, neighbors = [], [], []
+
+    # ---- intra-block faces -------------------------------------------------
+    coords = np.arange(npb, dtype=np.int64)
+    cc = [(coords // bs ** d) % bs for d in range(nd)]
+    for d in range(nd):
+        own = coords[cc[d] < bs - 1]
+        base = np.arange(B, dtype=np.int64)[:, None] * npb
+        o = (base + own[None, :]).reshape(-1)
+        dims.append(np.full(o.size, d, np.int32))
+        owners.append(o)
+        neighbors.append(o + bs ** d)
+
+    # ---- block adjacency ---------------------------------------------------
+    bc = bo + bw / 2
+    brad = np.sqrt((bw ** 2).sum(1)) / 2
+    tree = cKDTree(bc)
+    prs = tree.query_pairs(float(brad.max()) * 2.001, output_type="ndarray")
+    if prs.size:
+        b1, b2 = prs[:, 0], prs[:, 1]
+        mins = np.maximum(bo[b1], bo[b2])
+        maxs = np.minimum(bo[b1] + bw[b1], bo[b2] + bw[b2])
+        fw = maxs - mins
+        tol = 1e-3 * np.minimum(bw[b1], bw[b2]).min(axis=1)
+        n_deg = (np.abs(fw) < tol[:, None]).sum(axis=1)
+        n_neg = (fw < -tol[:, None]).sum(axis=1)
+        touch = (n_deg == 1) & (n_neg == 0)
+        b1, b2, fw = b1[touch], b2[touch], fw[touch]
+        fdim = np.abs(fw).argmin(axis=1)
+        # orient: b1 lower along fdim
+        flip = bo[b2, fdim] < bo[b1, fdim]
+        b1, b2 = np.where(flip, b2, b1), np.where(flip, b1, b2)
+    else:
+        b1 = b2 = fdim = np.zeros(0, np.int64)
+
+    odd_pairs = []
+    j = np.arange(n_side, dtype=np.int64)
+    hw = bw / bs                      # cell width per block
+    for d in range(nd):
+        sel = np.nonzero(fdim == d)[0]
+        if sel.size == 0:
+            continue
+        lo_b, hi_b = b1[sel], b2[sel]
+        r = hw[hi_b, d] / hw[lo_b, d]
+        perp = [dd for dd in range(nd) if dd != d]
+
+        eq = np.isclose(r, 1.0, rtol=1e-3)
+        # aligned equal blocks: plane cells pair up index-for-index
+        if eq.any():
+            lb, hb = lo_b[eq], hi_b[eq]
+            aligned = np.ones(lb.size, bool)
+            for dp in perp:
+                aligned &= np.isclose(bo[lb, dp], bo[hb, dp],
+                                      rtol=0, atol=1e-9 + 1e-6 * bw[lb, dp])
+            for k in np.nonzero(~aligned)[0]:
+                odd_pairs.append((lb[k], hb[k]))
+            lb, hb = lb[aligned], hb[aligned]
+            o = plane_ids(bs, nd, d, 1, lb[:, None], j[None, :]).reshape(-1)
+            n = plane_ids(bs, nd, d, 0, hb[:, None], j[None, :]).reshape(-1)
+            dims.append(np.full(o.size, d, np.int32))
+            owners.append(o)
+            neighbors.append(n)
+
+        for fine_is_low in (True, False):
+            # r = hw[hi]/hw[lo]: r == 2 -> the LOW block has the fine cells
+            mask = (np.isclose(r, 2.0, rtol=1e-3) if fine_is_low
+                    else np.isclose(r, 0.5, rtol=1e-3))
+            if not mask.any():
+                continue
+            fb = lo_b[mask] if fine_is_low else hi_b[mask]
+            cb = hi_b[mask] if fine_is_low else lo_b[mask]
+            # quadrant of the fine block on the coarse face (hi-major)
+            q = np.zeros(fb.size, np.int64)
+            okq = np.ones(fb.size, bool)
+            for bit, dp in enumerate(perp):
+                off = (bo[fb, dp] - bo[cb, dp]) / (bw[cb, dp] / 2)
+                offr = np.rint(off).astype(np.int64)
+                okq &= np.isclose(off, offr, atol=1e-3) & (offr >= 0) \
+                    & (offr <= 1)
+                q |= offr << bit
+            for k in np.nonzero(~okq)[0]:
+                odd_pairs.append((fb[k], cb[k]))
+            fb, cb, q = fb[okq], cb[okq], q[okq]
+            jc = coarse_plane_of_fine(bs, nd, q[:, None], j[None, :])
+            fine_ids = plane_ids(bs, nd, d, 1 if fine_is_low else 0,
+                                 fb[:, None], j[None, :]).reshape(-1)
+            coarse_ids = plane_ids(bs, nd, d, 0 if fine_is_low else 1,
+                                   cb[:, None], jc).reshape(-1)
+            dims.append(np.full(fine_ids.size, d, np.int32))
+            if fine_is_low:
+                owners.append(fine_ids)
+                neighbors.append(coarse_ids)
+            else:
+                owners.append(coarse_ids)
+                neighbors.append(fine_ids)
+
+        exotic = ~(eq | np.isclose(r, 0.5, rtol=1e-3)
+                   | np.isclose(r, 2.0, rtol=1e-3))
+        for k in np.nonzero(exotic)[0]:
+            odd_pairs.append((lo_b[k], hi_b[k]))
+
+    # ---- exotic block pairs: generic pair test on their cells only --------
+    if odd_pairs:
+        cells = np.unique(np.concatenate([
+            np.arange(npb, dtype=np.int64) + b * npb
+            for pair in odd_pairs for b in pair
+        ]))
+        d_e, o_e, n_e = octree2faces(origins[cells], widths[cells])
+        # keep only inter-block faces (intra already generated)
+        keep = cells[o_e] // npb != cells[n_e] // npb
+        dims.append(d_e[keep])
+        owners.append(cells[o_e[keep]])
+        neighbors.append(cells[n_e[keep]])
+
+    return (
+        np.concatenate(dims).astype(np.int32),
+        np.concatenate(owners).astype(np.int32),
+        np.concatenate(neighbors).astype(np.int32),
+    )
+
+
 def hcube_faces(hcube_origin, hcube_widths, origins, widths):
     """Faces where cells touch the outer hypercube (owner or neighbor = -1).
 
