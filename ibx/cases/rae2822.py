@@ -53,6 +53,7 @@ def build_rae2822(
     use_blocks: bool = True,
     scheme: str = "rk2",
     freeze_gradients: bool = False,
+    irs_eps: float = 0.0,
 ) -> Rae2822Case:
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
@@ -134,8 +135,11 @@ def build_rae2822(
         bt = build_block_tables(dom)
         bbc = build_blocked_bc(dom, ["farfield", "wall"])
 
+        _pl = os.environ.get("IBX_BC_PALLAS")
+        _use_pallas = None if _pl is None else _pl not in ("0", "false")
+
         def apply_bcs3(P3):
-            return bbc(P3, bc_fns)
+            return bbc(P3, bc_fns, use_pallas=_use_pallas)
 
         active3 = to_blocks(bt, active[:, None])[..., 0]
         stepper = euler_step_grid if scheme == "euler" else rk2_step_grid
@@ -144,6 +148,7 @@ def build_rae2822(
             kw = {}
             if scheme != "euler":
                 kw["freeze_gradients"] = freeze_gradients
+                kw["irs_eps"] = irs_eps
             return stepper(bt, fluid, P3, apply_bcs3, cfl=cfl,
                            high_order=high_order, active3=active3, **kw)
 

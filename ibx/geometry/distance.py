@@ -71,6 +71,26 @@ class Line:
         return np.sqrt(((pts - proj) ** 2).sum(axis=1))
 
 
+def _farthest_points(pts: np.ndarray, k: int) -> np.ndarray:
+    """Greedy farthest-point subsample (near-optimal cover radius).
+
+    Point ORDER in the cloud may be spatially clustered (surface refinement
+    recursion), so strided subsampling gives terrible covers; FPS costs
+    O(M k) vectorized flops and keeps the two-tier distance split tight.
+    """
+    pts = pts.astype(np.float32)
+    M = pts.shape[0]
+    k = min(k, M)
+    chosen = np.empty((k,) + pts.shape[1:], np.float32)
+    chosen[0] = pts[0]
+    d = ((pts - chosen[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        j = int(d.argmax())
+        chosen[i] = pts[j]
+        d = np.minimum(d, ((pts - chosen[i]) ** 2).sum(axis=1))
+    return chosen
+
+
 class DistanceField:
     """Approximate unsigned distance to a surface via a KDTree over simplex
     centers, with exact projection among in-range candidates.
@@ -88,28 +108,98 @@ class DistanceField:
         self.centers, _ = centers_and_normals(stl)
         self.tree = cKDTree(self.centers, leafsize=leaf_size)
         self._coords = simplex_coordinates(stl)
+        # max center-to-vertex distance: bounds how far a simplex's center
+        # can be from its nearest point (used to tighten candidate radii)
+        self.simplex_radius = float(np.sqrt(
+            ((self._coords - self.centers[:, None, :]) ** 2)
+            .sum(axis=2).max()
+        )) if self._coords.size else 0.0
+        # two-tier acceleration: k=1 queries from FAR points against a
+        # compact surface manifold are pathological for kd-trees (thousands
+        # of near-equidistant centers defeat pruning; measured ~270 us/query
+        # at 170k centers — and the pathology survives subsampled TREES
+        # too). Far points instead use a brute-force minimum over a few
+        # hundred subsampled centers (pure vectorized numpy, ~ns/point);
+        # near points get the exact full-tree value. Far values overestimate
+        # the center distance by at most ``query_error``.
+        M = self.centers.shape[0]
+        if M > 4096:
+            # one FPS run; its prefixes are themselves FPS subsamples
+            chosen = _farthest_points(self.centers, 2048)
+            self._sub = chosen[:384]
+            self._sub2 = chosen
+            self.query_error = float(
+                self._brute_min(self.centers, self._sub).max())
+            self._r2 = float(
+                self._brute_min(self.centers, self._sub2).max())
+        else:
+            self._sub = None
+            self.query_error = 0.0
+            self._r2 = 0.0
+
+    @staticmethod
+    def _brute_min(pts: np.ndarray, sub: np.ndarray,
+                   chunk: int = 65536) -> np.ndarray:
+        out = np.empty(pts.shape[0], np.float32)
+        s2 = (sub.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+        for i in range(0, pts.shape[0], chunk):
+            q = pts[i:i + chunk]
+            d2 = ((q ** 2).sum(axis=1)[:, None]
+                  - 2.0 * (q @ sub.T) + s2[None, :])
+            out[i:i + chunk] = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+        return out
 
     def __call__(self, pts: np.ndarray) -> np.ndarray:
+        """Nearest-simplex-center distance; values beyond the exact tier may
+        overestimate by at most ``query_error`` (three-tier acceleration —
+        kd-tree k=1 queries against a surface manifold are only fast when
+        the query point is CLOSE, see CLAUDE.md)."""
         pts = np.atleast_2d(np.asarray(pts, dtype=np.float32))
-        d, _ = self.tree.query(pts, k=1, workers=-1)
+        if self._sub is None:
+            d, _ = self.tree.query(pts, k=1, workers=-1)
+            return d
+        d = self._brute_min(pts, self._sub)
+        mid = d - self.query_error <= 8.0 * self.query_error
+        if mid.any():
+            d_mid = self._brute_min(pts[mid], self._sub2)
+            d[mid] = d_mid
+            near = np.zeros(pts.shape[0], bool)
+            near[mid] = d_mid - self._r2 <= 4.0 * self._r2
+            if near.any():
+                d_near, _ = self.tree.query(pts[near], k=1, workers=-1)
+                d[near] = d_near
         return d
 
-    def projection(self, pts: np.ndarray, R: Optional[np.ndarray] = None):
+    def projection(self, pts: np.ndarray, R: Optional[np.ndarray] = None,
+                   d_init: Optional[np.ndarray] = None):
         """Exact projection of each point onto the surface.
 
         R: per-point candidate search radius (0 / None disables the exact
         pass, returning the nearest simplex center — matching the reference's
-        behavior for ``R <= d``). Returns (projections [Q, nd], distances [Q]).
+        behavior for ``R <= d``). ``d_init``: optional UPPER bound on the
+        nearest-center distance (e.g. from the tiered ``__call__`` plus its
+        error) — skips the full-tree k=1 query, which is pathologically slow
+        for points far from the surface; callers using it must not rely on
+        the fallback value for points whose ball search stays empty.
+        Returns (projections [Q, nd], distances [Q]).
         """
         pts = np.atleast_2d(np.asarray(pts, dtype=np.float32))
-        d, nearest = self.tree.query(pts, k=1, workers=-1)
-        proj = self.centers[nearest].copy()
-        dist = d.astype(np.float64)
+        if d_init is None:
+            d, nearest = self.tree.query(pts, k=1, workers=-1)
+            proj = self.centers[nearest].copy()
+            dist = d.astype(np.float64)
+        else:
+            proj = np.broadcast_to(
+                self.centers[:1], (pts.shape[0], pts.shape[1])).copy()
+            dist = np.asarray(d_init, np.float64).copy()
 
         if R is None:
             return proj, dist.astype(np.float32)
         R = np.broadcast_to(np.asarray(R, dtype=np.float64), (pts.shape[0],))
-        active = R > dist
+        # with a (possibly loose) d_init upper bound, every point must get a
+        # ball search — R > dist could wrongly skip true in-band points
+        active = np.ones(pts.shape[0], bool) if d_init is not None \
+            else R > dist
         if not np.any(active):
             return proj, dist.astype(np.float32)
 

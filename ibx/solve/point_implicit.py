@@ -106,8 +106,31 @@ def linearize(
     if D.ndim == 1:
         Dinv = 1.0 / (_EPS + D)
     else:
-        Dinv = jnp.linalg.pinv(D)
+        Dinv = _block_inv(D)
     return Linearization(f, x, fx), -fx, PIPreconditioner(Dinv)
+
+
+def _block_inv(D, rel_reg: float = 1e-5):
+    """Regularized inverse of small [N, k, k] blocks by vectorized
+    Gauss-Jordan elimination.
+
+    ``jnp.linalg.pinv`` lowers to a batched SVD whose QR stage blows the
+    TPU scoped-VMEM limit at ~100k blocks; the Newton blocks here are
+    diagonally dominant (I/dt - diag(J)), so unpivoted elimination with a
+    diagonal Tikhonov term is stable and compiles to pure vector ops.
+    """
+    k = D.shape[-1]
+    scale = jnp.sqrt((D * D).sum(axis=(-2, -1)) / (k * k)) + _EPS
+    lam = (rel_reg * scale)[:, None]
+    eye = jnp.eye(k, dtype=D.dtype)
+    A = D + lam[..., None] * eye
+    M = jnp.concatenate([A, jnp.broadcast_to(eye, A.shape)], axis=-1)
+    for i in range(k):
+        piv = M[:, i, i:i + 1]
+        row = M[:, i, :] / (piv + _EPS)
+        M = M - M[:, :, i:i + 1] * row[:, None, :]
+        M = M.at[:, i, :].set(row)
+    return M[:, :, k:]
 
 
 def _dot(a, b):

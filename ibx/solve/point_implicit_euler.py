@@ -47,7 +47,6 @@ def point_implicit_step(
     Returns (P_new, linear_residual_ratio). Jit-compatible.
     """
     Qn = primitive2state(fluid, jnp.asarray(P))
-    part_dt = None
 
     def residual(Q):
         Pq = physicality_guard(state2primitive(fluid, Q))

@@ -68,6 +68,10 @@ class BlockedBC:
     ovf_src: jnp.ndarray       # int32[O] g rows of overflow ghosts
     ovf_dst: jnp.ndarray       # int32[O] (gb * npb + slot) of those ghosts
     ghost_mask: jnp.ndarray    # f32[GB, bs.., 1] 1 on ghost slots
+    # [GB, R] run tables for the Pallas write-back kernel
+    run_gstart: jnp.ndarray    # int32[GB, R] window start into npb-padded g
+    run_s0: jnp.ndarray        # int32[GB, R] first slot of the run
+    run_len: jnp.ndarray       # int32[GB, R] run length (0 on padding)
     names: Tuple[str, ...]
     bs: int
     nd: int
@@ -83,17 +87,18 @@ class BlockedBC:
         C = P3.shape[-1]
         parts = []
         if self.n_patch:
+            wy = self.patch_w.shape[1] // bs
             dn = lax.GatherDimensionNumbers(
                 offset_dims=(1, 2, 3),
                 collapsed_slice_dims=tuple(range(nd - 1)),
                 start_index_map=(0, nd - 1),
             )
-            # 2D: operand [B, y, x, C], starts (b, y0), slice (1, 2, bs, C)
+            # 2D: operand [B, y, x, C], starts (b, y0), slice (1, wy, bs, C)
             patch = lax.gather(
                 P3, self.patch_start, dn,
-                slice_sizes=(1,) * (nd - 1) + (2, bs, C),
+                slice_sizes=(1,) * (nd - 1) + (wy, bs, C),
                 mode=_PIB,
-            ).reshape(self.n_patch, 2 * bs, C)
+            ).reshape(self.n_patch, wy * bs, C)
             parts.append((patch * self.patch_w[..., None]).sum(axis=1))
         if self.n_fb:
             dn = lax.GatherDimensionNumbers(
@@ -148,8 +153,17 @@ class BlockedBC:
             ).reshape(GB, n_tiles, 16, C)
         return placed.reshape((GB,) + (self.bs,) * self.nd + (C,))
 
-    def __call__(self, P3, fns: Dict[str, Callable]):
-        """Apply all families' BCs; returns the updated grid state."""
+    def __call__(self, P3, fns: Dict[str, Callable], *,
+                 use_pallas: bool = None):
+        """Apply all families' BCs; returns the updated grid state.
+
+        ``use_pallas=True`` routes the write-back through the Pallas
+        kernel (`ibx.ops.pallas_bc`). The default is the XLA phase-view
+        placement + block-row scatter path: the kernel is exact and
+        in-place, but its [*, C]-lane-padded VMEM windows currently make it
+        slower in marches (see STATUS.md) — kept as a tested integration
+        point for the lane-packed rewrite.
+        """
         Pi = self.interpolate(P3)
         r = None
         for i, name in enumerate(self.names):
@@ -157,8 +171,29 @@ class BlockedBC:
             sel = (self.family == i)[:, None]
             r = ri if r is None else jnp.where(sel, ri, r)
         g = self.eta * Pi + (1.0 - self.eta) * r
-        placed = self.place(g)
 
+        if use_pallas is None:
+            use_pallas = False
+        if use_pallas and self.gblocks.shape[0]:
+            return self._write_pallas(P3, g)
+        return self._write_xla(P3, g)
+
+    def _write_pallas(self, P3, g, *, interpret: bool = False):
+        from ..ops.pallas_bc import bc_write
+
+        npb = self.bs ** self.nd
+        C = g.shape[-1]
+        g_pad = jnp.concatenate([
+            jnp.zeros((npb, C), g.dtype), g, jnp.zeros((npb, C), g.dtype)])
+        GB = self.gblocks.shape[0]
+        return bc_write(
+            P3, g_pad, self.gblocks, self.run_gstart, self.run_s0,
+            self.run_len, self.ghost_mask.reshape(GB, npb, 1),
+            interpret=interpret,
+        )
+
+    def _write_xla(self, P3, g):
+        placed = self.place(g)
         nd, bs = self.nd, self.bs
         C = P3.shape[-1]
         dn = lax.GatherDimensionNumbers(
@@ -218,12 +253,13 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
     blk = ghosts // npb
     within = ghosts % npb
 
-    # ---- patch eligibility (2-row window; 2D only for now) ---------------
+    # ---- patch eligibility (WY-row window; 2D only for now) --------------
+    WY = min(3, bs)
     if nd == 2:
         sblk = idx // npb
         same = (sblk == sblk[:, :1]).all(axis=1)
         rows = (idx % npb) // bs
-        eligible = same & ((rows.max(axis=1) - rows.min(axis=1)) <= 1)
+        eligible = same & ((rows.max(axis=1) - rows.min(axis=1)) <= WY - 1)
     else:
         eligible = np.zeros(ghosts.size, dtype=bool)
 
@@ -246,14 +282,14 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         pb = (pidx[:, 0] // npb).astype(np.int32)
         prow = (pidx % npb) // bs
         pcol = (pidx % npb) % bs
-        y0 = np.minimum(prow.min(axis=1), bs - 2).astype(np.int32)
+        y0 = np.minimum(prow.min(axis=1), bs - WY).astype(np.int32)
         patch_start = np.stack([pb, y0], axis=1).astype(np.int32)
-        patch_w = np.zeros((Gp, 2 * bs), dtype=np.float32)
+        patch_w = np.zeros((Gp, WY * bs), dtype=np.float32)
         rr = (prow - y0[:, None]) * bs + pcol
         np.add.at(patch_w, (np.arange(Gp)[:, None], rr), pw)
     else:
         patch_start = np.zeros((0, 2), np.int32)
-        patch_w = np.zeros((0, 2 * bs), np.float32)
+        patch_w = np.zeros((0, WY * bs), np.float32)
 
     # ---- fallback tables ---------------------------------------------------
     if Gf:
@@ -331,6 +367,24 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         gb_of_ghost = np.array([g2gb[int(b)] for b in blk_c])
         gmask[gb_of_ghost, within_c] = 1.0
         gmask = gmask.reshape((GB,) + (bs,) * nd + (1,))
+
+        # [GB, R] run tables for the Pallas write-back kernel (window start
+        # into the npb-front-padded value array)
+        counts = np.zeros(GB, np.int64)
+        for b in run_blk:
+            counts[g2gb[int(b)]] += 1
+        Rr = max(1, int(counts.max()))
+        run_gstart = np.zeros((GB, Rr), np.int32)
+        run_s0v = np.zeros((GB, Rr), np.int32)
+        run_lenv = np.zeros((GB, Rr), np.int32)
+        fill = np.zeros(GB, np.int64)
+        for rblk, rs0, rlen, rgoff in zip(run_blk, run_s0, lens, starts):
+            i = g2gb[int(rblk)]
+            j = fill[i]
+            fill[i] += 1
+            run_gstart[i, j] = npb + int(rgoff) - int(rs0)
+            run_s0v[i, j] = int(rs0)
+            run_lenv[i, j] = int(rlen)
     else:
         gblocks = np.zeros((0,), np.int64)
         tile_row = np.zeros((0, n_tiles, 1), np.int32)
@@ -339,6 +393,9 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         ovf_src = np.zeros(0, np.int32)
         ovf_dst = np.zeros(0, np.int32)
         gmask = np.zeros((0,) + (bs,) * nd + (1,), np.float32)
+        run_gstart = np.zeros((0, 1), np.int32)
+        run_s0v = np.zeros((0, 1), np.int32)
+        run_lenv = np.zeros((0, 1), np.int32)
 
     bc = BlockedBC(
         patch_start=patch_start,
@@ -355,6 +412,9 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         ovf_src=ovf_src,
         ovf_dst=ovf_dst,
         ghost_mask=gmask,
+        run_gstart=run_gstart,
+        run_s0=run_s0v,
+        run_len=run_lenv,
         names=tuple(names),
         bs=bs,
         nd=nd,

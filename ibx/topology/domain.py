@@ -302,11 +302,13 @@ class Domain(DomainExecutionMixin):
             self._host_boundaries[bname] = _build_host_boundary(
                 centers, widths, tree, ghosts, projs, ghost_layer_ratio
             )
+            self._stage(f"boundary[{bname}]", f"{ghosts.size} ghosts")
 
         for bname, dfield in msh.distance_fields.items():
             ghosts, projs = ghosts_and_projections_stl(
                 dfield, centers, widths, ghost_layer_ratio=ghost_layer_ratio
             )
+            self._stage(f"ghosts[{bname}]", f"{ghosts.size} ghosts")
             self._host_boundaries[bname] = _build_host_boundary(
                 centers, widths, tree, ghosts, projs, ghost_layer_ratio
             )

@@ -29,13 +29,34 @@ def ghosts_and_projections_stl(
     Returns (ghost_indices int64[G], projections float32[G, nd]).
     """
     diams = np.sqrt((widths.astype(np.float64) ** 2).sum(1))
+    band = diams * ghost_layer_ratio
+    r_s = getattr(dfield, "simplex_radius", 0.0)
     approx = dfield(centers)
-    cand = np.nonzero(approx <= diams * ghost_layer_ratio * 2)[0]
+    # exact superset: a ghost needs d_true <= band; the center-distance
+    # approximation overestimates d_true by at most the simplex radius plus
+    # (far tier only) the coarse cover radius (DistanceField.query_error)
+    q_err = getattr(dfield, "query_error", 0.0)
+    cand = np.nonzero(approx - q_err <= band + r_s)[0]
     if cand.size == 0:
         return cand.astype(np.int64), np.zeros((0, centers.shape[1]), np.float32)
-    projs, dists = dfield.projection(
-        centers[cand], R=diams[cand] * ghost_layer_ratio * 2
-    )
+    # candidate radius: the true nearest simplex's center lies within
+    # d_true + r_s; capping at band + 2 r_s keeps the result exact for every
+    # cell that can pass the band test while keeping ball queries (and
+    # memory) bounded on fine 3D meshes
+    R = np.minimum(np.maximum(approx[cand], 0.0), band[cand]) \
+        + 2.0 * r_s + 1e-12
+    # upper bound on the nearest-center distance skips projection's
+    # full-tree k=1 (slow for far points); empty-ball fallbacks only occur
+    # beyond the band and are masked out below
+    d_init = np.maximum(approx[cand], 0.0) + q_err + 1e-6
+    projs = np.empty((cand.size, centers.shape[1]), np.float32)
+    dists = np.empty(cand.size, np.float32)
+    CH = 262144
+    for i in range(0, cand.size, CH):
+        sl = slice(i, min(i + CH, cand.size))
+        projs[sl], dists[sl] = dfield.projection(
+            centers[cand[sl]], R=R[sl], d_init=d_init[sl]
+        )
     mask = dists <= diams[cand] * ghost_layer_ratio
     return cand[mask].astype(np.int64), projs[mask]
 

@@ -1,0 +1,67 @@
+"""Generate converged RAE2822 wall-Cp oracles at several mesh levels.
+
+Writes tests/data/rae2822_cp_<tag>.npz with the wall-point coordinates, Cp,
+Cl/Cd history tail, and config metadata. Run on the TPU (long marches).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+sys.path.insert(0, "/root/repo")
+
+from ibx.cases import build_rae2822, force_coefficients, wall_cp  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
+
+CONFIGS = {
+    "coarse": dict(wall_h=2e-2, feature_h=1e-2, steps=20000),
+    "medium": dict(wall_h=1e-2, feature_h=5e-3, steps=30000),
+    "fine": dict(wall_h=2.5e-3, feature_h=1.25e-3, steps=40000),
+}
+
+
+def main():
+    which = sys.argv[1:] or list(CONFIGS)
+    for tag in which:
+        cfg = dict(CONFIGS[tag])
+        steps = cfg.pop("steps")
+        t0 = time.time()
+        case = build_rae2822(cfl=0.7, **cfg)
+        print(f"[{tag}] cells={case.dom.ncells} build={time.time()-t0:.0f}s",
+              flush=True)
+        P = case.P0
+        cl_hist = []
+        t0 = time.time()
+        chunk = 2000
+        for i in range(steps // chunk):
+            P = case.march(P, chunk)
+            jax.block_until_ready(P)
+            cl, cd = force_coefficients(case, np.asarray(P))
+            cl_hist.append((cl, cd))
+            print(f"[{tag}] step {(i+1)*chunk}: Cl={cl:.4f} Cd={cd:.5f}",
+                  flush=True)
+        Pn = np.asarray(P)
+        assert np.isfinite(Pn).all()
+        cp = wall_cp(case, Pn)
+        surf = case.dom.surfaces["wall"]
+        cl, cd = force_coefficients(case, Pn)
+        out = os.path.join(OUT, f"rae2822_cp_{tag}.npz")
+        np.savez_compressed(
+            out,
+            x=surf.points[:, 0], y=surf.points[:, 1], cp=cp,
+            cl=cl, cd=cd,
+            cl_hist=np.asarray(cl_hist, np.float32),
+            meta=json.dumps(dict(cfg, steps=steps, mach=0.73, alpha=2.31,
+                                 cells=case.dom.ncells)),
+        )
+        print(f"[{tag}] wrote {out}  Cl={cl:.4f} Cd={cd:.5f} "
+              f"march={time.time()-t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
