@@ -21,7 +21,8 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
 CONFIGS = {
     "coarse": dict(wall_h=2e-2, feature_h=1e-2, steps=20000),
     "medium": dict(wall_h=1e-2, feature_h=5e-3, steps=30000),
-    "fine": dict(wall_h=2.5e-3, feature_h=1.25e-3, steps=40000),
+    "fine": dict(wall_h=5e-4, feature_h=2.5e-4, steps=24000,
+                 block_size=16, cfl=0.6, irs_eps=0.6),
 }
 
 
@@ -30,8 +31,9 @@ def main():
     for tag in which:
         cfg = dict(CONFIGS[tag])
         steps = cfg.pop("steps")
+        cfg.setdefault("cfl", 0.7)
         t0 = time.time()
-        case = build_rae2822(cfl=0.7, **cfg)
+        case = build_rae2822(**cfg)
         print(f"[{tag}] cells={case.dom.ncells} build={time.time()-t0:.0f}s",
               flush=True)
         P = case.P0
