@@ -472,15 +472,22 @@ from ..physics.fluid import state2primitive_guarded as _s2p_g  # noqa: E402
 
 
 def smooth_residual_grid(bt: BlockTables, R3, *, eps: float = 0.6,
-                         n_sweeps: int = 2):
+                         n_sweeps: int = 2, active3=None):
     """Implicit residual smoothing (Jameson): Jacobi sweeps toward
     (I - eps nabla^2) Rs = R, raising the stable CFL by ~sqrt(1 + 4 eps).
 
     The steady state is untouched (R = 0 is a fixed point of the smoother),
     so the smoothing stencil may be approximate: block sides without a
     same-size dense neighbor (2:1 interfaces) mirror the own edge column.
+    ``active3`` masks cells whose residuals are meaningless (frozen
+    solid-interior cells) out of the smoothing stencil — without it their
+    garbage residuals bleed into wall-adjacent fluid cells and the march
+    stalls in a spurious low-lift state.
     """
     nd, bs = bt.nd, bt.block_size
+    if active3 is not None:
+        R_in = R3
+        R3 = R3 * active3[..., None]
 
     def neighbor_sum(Rs):
         acc = None
@@ -513,6 +520,8 @@ def smooth_residual_grid(bt: BlockTables, R3, *, eps: float = 0.6,
     denom = 1.0 + eps * 2 * nd
     for _ in range(n_sweeps):
         Rs = (R3 + eps * neighbor_sum(Rs)) / denom
+    if active3 is not None:
+        Rs = jnp.where(active3[..., None] > 0, Rs, R_in)
     return Rs
 
 
@@ -539,7 +548,7 @@ def rk2_step_grid(
     R0, dt3, frozen = euler_rhs_grid(bt, fluid, P3, high_order=high_order,
                                      with_dt=True, cfl=cfl)
     if irs_eps > 0.0:
-        R0 = smooth_residual_grid(bt, R0, eps=irs_eps)
+        R0 = smooth_residual_grid(bt, R0, eps=irs_eps, active3=active3)
     if active3 is not None:
         dt3 = dt3 * active3
     dt = dt3[..., None]
@@ -548,7 +557,7 @@ def rk2_step_grid(
     R1 = euler_rhs_grid(bt, fluid, P1, high_order=high_order,
                         frozen=frozen if freeze_gradients else None)
     if irs_eps > 0.0:
-        R1 = smooth_residual_grid(bt, R1, eps=irs_eps)
+        R1 = smooth_residual_grid(bt, R1, eps=irs_eps, active3=active3)
     P2 = apply_bcs3(_s2p_g(fluid, Q0 + dt * (R0 + R1) / 2))
     resnorm = jnp.abs(R0[..., 0]).max()
     return P2, resnorm

@@ -110,3 +110,39 @@ def test_step_parity_multi(case, bt):
     P_b = np.asarray(P_b)
     scale = np.abs(P_r).max(axis=0)
     assert (np.abs(P_b - P_r) / scale).max() < 1e-3
+
+
+def test_residual_smoothing_preserves_steady_state(case, bt):
+    """IRS must be a no-op on a zero residual and keep magnitudes bounded."""
+    import jax.numpy as jnp
+    from ibx.ops.block_ops import smooth_residual_grid, to_blocks
+
+    Z = to_blocks(bt, jnp.zeros((case.dom.ncells, 4), jnp.float32))
+    out = np.asarray(smooth_residual_grid(bt, Z, eps=0.6))
+    assert np.abs(out).max() == 0.0
+
+    rng = np.random.default_rng(0)
+    R3 = to_blocks(bt, jnp.asarray(
+        rng.standard_normal((case.dom.ncells, 4)).astype(np.float32)))
+    Rs = np.asarray(smooth_residual_grid(bt, R3, eps=0.6))
+    assert np.isfinite(Rs).all()
+    # smoothing is an averaging filter: it must not amplify
+    assert np.abs(Rs).max() <= np.abs(np.asarray(R3)).max() * 1.001
+
+
+def test_rk2_irs_step_finite(case, bt):
+    from ibx.ops.block_ops import rk2_step_grid, to_blocks, to_flat
+    from ibx.topology.blocked_bc import build_blocked_bc
+    from ibx.physics.bc import apply_flow_bc, flow_bc
+
+    bbc = build_blocked_bc(case.dom, ["farfield", "wall"])
+    far = flow_bc(case.fluid, case.P_inf)
+    wall = flow_bc(case.fluid, [float(case.P_inf[0]), 288.15, 0.0],
+                   normal_flow=True)
+    fns = {"farfield": lambda Pi, n: apply_flow_bc(far, Pi, n),
+           "wall": lambda Pi, n: apply_flow_bc(wall, Pi, n)}
+    P3 = to_blocks(bt, case.P0)
+    P3, res = rk2_step_grid(bt, case.fluid, P3, lambda p: bbc(p, fns),
+                            cfl=1.2, irs_eps=0.5)
+    assert np.isfinite(np.asarray(to_flat(bt, P3))).all()
+    assert np.isfinite(float(res))
