@@ -112,8 +112,10 @@ def build_rae2822(
             "wall": lambda Pi, nrm: apply_flow_bc(wall_bc, Pi, nrm),
         }
 
+        from ..physics.fluid import physicality_guard
+
         def apply_bcs(P):
-            return fb(P, bc_fns)
+            return fb(P, bc_fns, guard=physicality_guard)
     else:
         apply_bcs = apply_bcs_seq
 
@@ -138,8 +140,11 @@ def build_rae2822(
         _pl = os.environ.get("IBX_BC_PALLAS")
         _use_pallas = None if _pl is None else _pl not in ("0", "false")
 
+        from ..physics.fluid import physicality_guard
+
         def apply_bcs3(P3):
-            return bbc(P3, bc_fns, use_pallas=_use_pallas)
+            return bbc(P3, bc_fns, use_pallas=_use_pallas,
+                       guard=physicality_guard)
 
         active3 = to_blocks(bt, active[:, None])[..., 0]
         stepper = euler_step_grid if scheme == "euler" else rk2_step_grid

@@ -18,6 +18,7 @@ from ..parallel import make_device_mesh
 from ..parallel.block_sharding import ShardedBlockDomain
 from ..physics.bc import apply_flow_bc, flow_bc
 from ..physics.fluid import (
+    physicality_guard,
     primitive2state,
     state2primitive_guarded,
 )
@@ -61,7 +62,8 @@ def build_rae2822_block_sharded(
 
     def sharded_step(ctx, P_own, active_own):
         def bcs(own):
-            return ctx.own(ctx.bc(ctx.exchange(own), bc_fns))
+            return ctx.own(ctx.bc(ctx.exchange(own), bc_fns,
+                                  guard=physicality_guard))
 
         loc = ctx.exchange(P_own)
         R0, dt3, _ = euler_rhs_grid(ctx.bt, fluid, loc, with_dt=True,

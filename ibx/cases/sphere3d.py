@@ -109,9 +109,10 @@ def build_sphere3d(
         "wall": lambda Pi, nrm: apply_flow_bc(wall_bc, Pi, nrm),
     }
     fb = dom.fused_boundary(["farfield", "wall"])
+    from ..physics.fluid import physicality_guard
 
     def apply_bcs(P):
-        return fb(P, bc_fns)
+        return fb(P, bc_fns, guard=physicality_guard)
 
     if use_blocks:
         from ..ops.block_ops import rk2_step_grid, to_blocks, to_flat
@@ -123,7 +124,7 @@ def build_sphere3d(
         active3 = to_blocks(bt, active[:, None])[..., 0]
 
         def apply_bcs3(P3):
-            return bbc(P3, bc_fns)
+            return bbc(P3, bc_fns, guard=physicality_guard)
 
         def _grid_step(P3):
             return rk2_step_grid(bt, fluid, P3, apply_bcs3, cfl=cfl,

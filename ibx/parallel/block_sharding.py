@@ -447,7 +447,7 @@ class ShardedBlockDomain:
                 segs.append(own[:1])        # dump block (finite, inert)
                 return jnp.concatenate(segs, axis=0)
 
-            def bc(local, fns):
+            def bc(local, fns, guard=None):
                 C = local.shape[-1]
                 bcT = t["bc"]
                 flat = local.reshape(sbd.n_loc, C)
@@ -462,6 +462,8 @@ class ShardedBlockDomain:
                     r = ri if r is None else jnp.where(sel, ri, r)
                 eta = bcT["eta"][0][:, None]
                 g = eta * Pi + (1.0 - eta) * r
+                if guard is not None:
+                    g = guard(g)
                 flat = flat.at[bcT["ghost"][0]].set(
                     g, mode="drop", unique_indices=True,
                     indices_are_sorted=True,

@@ -108,10 +108,17 @@ def state2primitive(fluid: Fluid, Q):
     return jnp.concatenate([p[..., None], T[..., None], u], axis=-1)
 
 
-def state2primitive_guarded(fluid: Fluid, Q, p_floor=1.0, u_max=3000.0):
+def state2primitive_guarded(fluid: Fluid, Q, p_floor=1.0, u_max=3000.0,
+                            rho_floor=1e-6):
     """`physicality_guard(state2primitive(...))` as ONE concatenation pass
-    (numerically identical; saves a full materialization of P per call)."""
-    rho = Q[..., 0]
+    (numerically identical where the state is physical; saves a full
+    materialization of P per call).
+
+    Also floors the density: deep expansions (sharp-trailing-edge suction
+    on fine meshes) can drive rho <= 0 in a single update, and mom / rho
+    then produces inf whose downstream `inf * 0` turns the whole field
+    NaN."""
+    rho = jnp.maximum(Q[..., 0], rho_floor)
     E = Q[..., 1]
     u = Q[..., 2:] / rho[..., None]
     kin = (u ** 2).sum(axis=-1) / 2

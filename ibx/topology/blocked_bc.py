@@ -154,7 +154,7 @@ class BlockedBC:
         return placed.reshape((GB,) + (self.bs,) * self.nd + (C,))
 
     def __call__(self, P3, fns: Dict[str, Callable], *,
-                 use_pallas: bool = None):
+                 use_pallas: bool = None, guard: Callable = None):
         """Apply all families' BCs; returns the updated grid state.
 
         ``use_pallas=True`` routes the write-back through the Pallas
@@ -171,6 +171,12 @@ class BlockedBC:
             sel = (self.family == i)[:, None]
             r = ri if r is None else jnp.where(sel, ri, r)
         g = self.eta * Pi + (1.0 - self.eta) * r
+        if guard is not None:
+            # keep blended ghosts physical: linear image-point stencils can
+            # extrapolate (negative weights) at thin geometry - unguarded
+            # negative ghost pressures at the trailing edge cascade into
+            # NaN on fine meshes (~11k steps at wall_h=5e-4)
+            g = guard(g)
 
         if use_pallas is None:
             use_pallas = False

@@ -109,8 +109,13 @@ class FusedBoundary:
     family: jnp.ndarray     # int32[G] index into names
     names: Tuple[str, ...]
 
-    def __call__(self, P, fns: Dict[str, Callable]):
-        """``fns[name](P_image, normals) -> bc values``; returns updated P."""
+    def __call__(self, P, fns: Dict[str, Callable], *, guard=None):
+        """``fns[name](P_image, normals) -> bc values``; returns updated P.
+
+        ``guard`` (optional) post-processes the blended ghost rows (e.g.
+        `physicality_guard`): linear image stencils can extrapolate with
+        negative weights at thin geometry.
+        """
         Pi = self.interp(P)
         r = None
         for i, name in enumerate(self.names):
@@ -120,6 +125,8 @@ class FusedBoundary:
             )
             r = ri if r is None else jnp.where(sel, ri, r)
         g = self.eta * Pi + (1.0 - self.eta) * r
+        if guard is not None:
+            g = guard(g)
         return P.at[self.ghost].set(
             g, unique_indices=True, indices_are_sorted=True
         )
