@@ -87,5 +87,12 @@ def build_rae2822_block_sharded(
         P2, res = raw(P_sh, active_sh)
         return P2, res[0]
 
+    @jax.jit
+    def march(P_sh, n_steps):
+        def body(_, P_sh):
+            return raw(P_sh, active_sh)[0]
+        return jax.lax.fori_loop(0, n_steps, body, P_sh)
+
     P0_sh = sbd.distribute(np.asarray(case.P0))
+    sbd.march = march
     return sbd, step, P0_sh, case
