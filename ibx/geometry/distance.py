@@ -189,8 +189,10 @@ class DistanceField:
             proj = self.centers[nearest].copy()
             dist = d.astype(np.float64)
         else:
-            proj = np.broadcast_to(
-                self.centers[:1], (pts.shape[0], pts.shape[1])).copy()
+            # NaN marks "no projection computed": rows whose ball search
+            # stays empty keep it, so misuse fails loudly instead of
+            # returning plausible-looking garbage coordinates
+            proj = np.full((pts.shape[0], pts.shape[1]), np.nan, np.float32)
             dist = np.asarray(d_init, np.float64).copy()
 
         if R is None:

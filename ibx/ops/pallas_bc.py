@@ -62,6 +62,9 @@ def bc_write(P3, g_pad, gblocks, gstart, s0, rlen, gmask_flat, *,
     GB, R = gstart.shape
     if GB == 0:
         return P3
+    assert g_pad.shape[0] * C * g_pad.dtype.itemsize <= 8 * 2 ** 20, (
+        "g_pad would not fit VMEM-resident; chunk the ghost set"
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -71,8 +74,10 @@ def bc_write(P3, g_pad, gblocks, gstart, s0, rlen, gmask_flat, *,
                 (1,) + P3.shape[1:],
                 lambda i, gb, gs, s0, ln: (gb[i],) + (0,) * (nd + 1),
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY
-                         if False else pltpu.VMEM),      # g_pad, resident
+            # g_pad is VMEM-resident for the whole grid: Gpad * C * 4 bytes
+            # must fit well under the ~16 MB scoped-VMEM budget (checked
+            # below; ~1M ghost rows at C=4 before this is a concern)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npb, 1), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(

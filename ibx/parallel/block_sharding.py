@@ -96,9 +96,26 @@ class ShardedBlockDomain:
             for p in range(P):
                 sel = sblk[gdev == p]
                 need[p].update(sel.reshape(-1).tolist())
+        # Second halo ring: pass B's face_B consumes the JST sensor (nu3)
+        # and gradients (du3) AT first-ring halo cells, and those are
+        # recomputed locally from the halo block's own face neighbors
+        # (nu3 is a max over ALL dims, so lateral neighbors matter). One
+        # ring is not enough — add the face-neighbors of every first-ring
+        # halo block so pass A is exact on the first ring. (Round-2
+        # advisor finding: one ring gave 7.5e-4 sharded-vs-single error
+        # from a shock-developed state.)
+        from collections import defaultdict
+        adj = defaultdict(list)
+        for a, b in pairs:
+            adj[int(a)].append(int(b))
         halo = []
         for p in range(P):
             lo, hi = p * chunk, min((p + 1) * chunk, B)
+            ring1 = {b for b in need[p] if not (lo <= b < hi)}
+            ring2 = set()
+            for b in ring1:
+                ring2.update(adj.get(b, ()))
+            need[p].update(ring2)
             halo.append(sorted(b for b in need[p] if not (lo <= b < hi)))
 
         # ---- ppermute offsets + send tables ------------------------------

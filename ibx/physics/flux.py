@@ -57,11 +57,17 @@ def inviscid_fluxes_hll(fluid: Fluid, PL, PR, dim: Union[int, jnp.ndarray]):
     SR = jnp.minimum(uR - aR, 0.0)[..., None]
     # SL = SR = 0 on a supersonic-rarefaction face (uL < -aL and uR > aR,
     # e.g. the deepening trailing-edge expansion on fine meshes): the
-    # reference formula then divides 0/0 and the march NaNs. The epsilon
-    # returns F = 0 there (the vacuum-interface flux) and perturbs real
-    # faces by O(1e-6 / |S|) relative — far below f32 round-off at the
-    # O(100 m/s) wave speeds of this regime.
-    return (SL * FL - SR * FR + SR * SL * (QR - QL)) / (SL - SR + 1e-6)
+    # reference formula then divides 0/0 and the march NaNs. Guard exactly
+    # those degenerate faces (F = 0, the vacuum-interface flux) and keep
+    # the reference formula bit-exact everywhere else.
+    denom = SL - SR
+    safe = denom > 0
+    return jnp.where(
+        safe,
+        (SL * FL - SR * FR + SR * SL * (QR - QL))
+        / jnp.where(safe, denom, 1.0),
+        0.0,
+    )
 
 
 def inviscid_fluxes_dissipative(

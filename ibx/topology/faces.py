@@ -216,8 +216,18 @@ def octree2faces_blocks(msh, origins: np.ndarray, widths: np.ndarray):
             for pair in odd_pairs for b in pair
         ]))
         d_e, o_e, n_e = octree2faces(origins[cells], widths[cells])
-        # keep only inter-block faces (intra already generated)
-        keep = cells[o_e] // npb != cells[n_e] // npb
+        # keep only faces between blocks that actually form an odd pair:
+        # blocks from DIFFERENT odd pairs may themselves be an aligned
+        # equal-size / 2:1 neighbor pair already emitted by the structural
+        # path above, and keeping their faces here would double-count flux
+        # across that interface
+        odd_keys = np.unique(np.asarray(
+            [(min(a, b) * np.int64(B) + max(a, b)) for a, b in odd_pairs],
+            dtype=np.int64))
+        ba = cells[o_e] // npb
+        bb = cells[n_e] // npb
+        keys = np.minimum(ba, bb) * np.int64(B) + np.maximum(ba, bb)
+        keep = (ba != bb) & np.isin(keys, odd_keys)
         dims.append(d_e[keep])
         owners.append(cells[o_e[keep]])
         neighbors.append(cells[n_e[keep]])
