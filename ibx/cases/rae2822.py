@@ -54,6 +54,7 @@ def build_rae2822(
     scheme: str = "rk2",
     freeze_gradients: bool = False,
     irs_eps: float = 0.0,
+    te_fix_radius: float = 0.0,
 ) -> Rae2822Case:
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
@@ -149,13 +150,27 @@ def build_rae2822(
         active3 = to_blocks(bt, active[:, None])[..., 0]
         stepper = euler_step_grid if scheme == "euler" else rk2_step_grid
 
+        # trailing-edge robustness blend (VERDICT round-2 item 1): a
+        # resolved sharp TE expands to vacuum under the reference's
+        # one-sided HLL speeds; within te_fix_radius of the TE the scheme
+        # blends to first-order upwind with Einfeldt wave speeds
+        # (full fix inside r, tapering to reference numerics at 2 r)
+        fix3 = None
+        if te_fix_radius > 0.0:
+            te = stl.points[int(np.argmax(stl.points[:, 0]))]
+            d_te = np.sqrt(((dom.centers - te[None, :]) ** 2).sum(1))
+            f = np.clip((2.0 * te_fix_radius - d_te) / te_fix_radius,
+                        0.0, 1.0).astype(np.float32)
+            fix3 = to_blocks(bt, jnp.asarray(f)[:, None])
+
         def _grid_step(P3):
             kw = {}
             if scheme != "euler":
                 kw["freeze_gradients"] = freeze_gradients
                 kw["irs_eps"] = irs_eps
             return stepper(bt, fluid, P3, apply_bcs3, cfl=cfl,
-                           high_order=high_order, active3=active3, **kw)
+                           high_order=high_order, active3=active3,
+                           fix3=fix3, **kw)
 
         def _one_step(P):
             P3, res = _grid_step(to_blocks(bt, P))

@@ -296,6 +296,7 @@ def euler_rhs_grid(
     with_dt: bool = False,
     cfl: float = 0.8,
     frozen=None,
+    fix3=None,
 ):
     """Fused Euler dQ/dt on the block-grid state [B, bs, ..., bs, C];
     numerics identical to `ibx.solve.euler.euler_rhs` (MUSCL + JST blending
@@ -304,6 +305,14 @@ def euler_rhs_grid(
 
     ``frozen``: optional (du3_list, nu3) from a previous evaluation — reuses
     the gradient/sensor pass (frozen-limiter RK stages).
+
+    ``fix3`` (optional [B, bs.., 1] in [0, 1]): trailing-edge-local robust
+    blend. Where > 0 a face (taking the max of its two cells) widens the
+    HLL wave speeds to the Einfeldt bounds (`ibx.physics.flux`), forces the
+    sensor blend to limited upwinding, and scales the MUSCL slopes toward
+    first order — the positivity recipe that keeps a resolved sharp
+    trailing edge from expanding to vacuum. Default None = reference
+    numerics everywhere.
 
     Returns R3 [B, bs.., C]; with ``with_dt`` also dt3 [B, bs..] and the
     frozen (du3_list, nu3) grids.
@@ -385,6 +394,7 @@ def euler_rhs_grid(
 
     # ---------------- pass B: MUSCL + HLL + divergence ---------------------
     signedB = [1.0] * ncomp
+    has_fix = fix3 is not None
 
     R3 = jnp.zeros_like(P3)
     for d in range(nd):
@@ -394,24 +404,31 @@ def euler_rhs_grid(
             Po, Pn = Wo[..., :ncomp], Wn[..., :ncomp]
             duo = Wo[..., ncomp:2 * ncomp]
             dun = Wn[..., ncomp:2 * ncomp]
-            Do = Wo[..., -1:]
-            Dn = Wn[..., -1:]
+            Do = Wo[..., 2 * ncomp:2 * ncomp + 1]
+            Dn = Wn[..., 2 * ncomp:2 * ncomp + 1]
+            fo = (jnp.maximum(Wo[..., -1:], Wn[..., -1:])
+                  if has_fix else None)
             down, dneigh = ho / 2, hn / 2
             grad_f = (Pn - Po) / (down + dneigh)
             slope_o = (2 * duo - grad_f) * down
             slope_n = (2 * dun - grad_f) * dneigh
             lim = minmod(slope_n, slope_o)
+            if has_fix:
+                lim = lim * (1.0 - fo)
             PL = Po + lim
             PR = Pn - lim
             D = jnp.maximum(jnp.maximum(Do, Dn), 1e-7)
+            if has_fix:
+                D = jnp.maximum(D, fo)
             uf = (Po * dneigh + Pn * down) / (down + dneigh)
             if high_order:
                 uf = uf + (duo * down - dun * dneigh) / 8
             PL = PL * D + (1.0 - D) * uf
             PR = PR * D + (1.0 - D) * uf
-            return inviscid_fluxes_hll(fluid, PL, PR, d)
+            return inviscid_fluxes_hll(fluid, PL, PR, d, fix=fo)
 
-        V3 = jnp.concatenate([P3, du3, nu3], axis=-1)
+        V3 = jnp.concatenate(
+            [P3, du3, nu3] + ([fix3] if has_fix else []), axis=-1)
         Vp = pad_dim(bt, V3, d)
         Vo, Vn = face_lr(bt, Vp, d)
         h = _h_bcast(bt, d, 1)
@@ -426,7 +443,9 @@ def euler_rhs_grid(
             P = P3.reshape(bt.n_cells, ncomp)
             W_flat = jnp.concatenate(
                 [P, du3.reshape(bt.n_cells, ncomp),
-                 nu3.reshape(bt.n_cells, 1)], axis=1)
+                 nu3.reshape(bt.n_cells, 1)]
+                + ([fix3.reshape(bt.n_cells, 1)] if has_fix else []),
+                axis=1)
             gs = _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
             R3 = R3 - gs.reshape(grid_shape + (ncomp,))
 
@@ -444,18 +463,21 @@ def euler_rhs_block(
     with_dt: bool = False,
     cfl: float = 0.8,
     frozen=None,
+    fix=None,
 ):
     """Flat-state wrapper of `euler_rhs_grid` ([N, C] in / [N, C] out).
 
     ``frozen`` here uses the flat (du_list, nu) convention of round 1.
+    ``fix`` is the flat [N] trailing-edge blend (see `euler_rhs_grid`).
     """
     P3 = to_blocks(bt, P)
     if frozen is not None:
         du_flat, nu = frozen
         frozen = ([to_blocks(bt, du) for du in du_flat],
                   to_blocks(bt, nu[:, None]))
+    fix3 = None if fix is None else to_blocks(bt, fix[:, None])
     out = euler_rhs_grid(bt, fluid, P3, high_order=high_order,
-                         with_dt=with_dt, cfl=cfl, frozen=frozen)
+                         with_dt=with_dt, cfl=cfl, frozen=frozen, fix3=fix3)
     if with_dt:
         R3, dt3, (du_grids, nu3) = out
         return (
@@ -536,6 +558,7 @@ def rk2_step_grid(
     active3=None,
     freeze_gradients: bool = False,
     irs_eps: float = 0.0,
+    fix3=None,
 ):
     """Local-dt TVD-RK2 pseudo step, grid-native (state stays [B, bs.., C]
     end to end; ``apply_bcs3`` maps grid -> grid). Same scheme as
@@ -544,9 +567,10 @@ def rk2_step_grid(
     reference's behavior) can run away and pollute image stencils.
     ``freeze_gradients`` reuses stage-1 gradients/sensor in stage 2
     (frozen-limiter RK; saves one gradient pass per step). ``irs_eps > 0``
-    enables implicit residual smoothing (raise ``cfl`` by ~sqrt(1+4 eps))."""
+    enables implicit residual smoothing (raise ``cfl`` by ~sqrt(1+4 eps)).
+    ``fix3``: trailing-edge robustness blend, see `euler_rhs_grid`."""
     R0, dt3, frozen = euler_rhs_grid(bt, fluid, P3, high_order=high_order,
-                                     with_dt=True, cfl=cfl)
+                                     with_dt=True, cfl=cfl, fix3=fix3)
     if irs_eps > 0.0:
         R0 = smooth_residual_grid(bt, R0, eps=irs_eps, active3=active3)
     if active3 is not None:
@@ -555,7 +579,8 @@ def rk2_step_grid(
     Q0 = primitive2state(fluid, P3)
     P1 = apply_bcs3(_s2p_g(fluid, Q0 + dt * R0))
     R1 = euler_rhs_grid(bt, fluid, P1, high_order=high_order,
-                        frozen=frozen if freeze_gradients else None)
+                        frozen=frozen if freeze_gradients else None,
+                        fix3=fix3)
     if irs_eps > 0.0:
         R1 = smooth_residual_grid(bt, R1, eps=irs_eps, active3=active3)
     P2 = apply_bcs3(_s2p_g(fluid, Q0 + dt * (R0 + R1) / 2))
@@ -572,12 +597,13 @@ def euler_step_grid(
     cfl: float = 0.4,
     high_order: bool = True,
     active3=None,
+    fix3=None,
 ):
     """Single-stage explicit pseudo step with local time stepping — the
     reference's own march recipe (``test/advection.jl:85-93``): one residual
     evaluation per step. Grid-native."""
     R, dt3, _ = euler_rhs_grid(bt, fluid, P3, high_order=high_order,
-                               with_dt=True, cfl=cfl)
+                               with_dt=True, cfl=cfl, fix3=fix3)
     if active3 is not None:
         dt3 = dt3 * active3
     Q = primitive2state(fluid, P3) + dt3[..., None] * R

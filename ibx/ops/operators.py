@@ -170,6 +170,7 @@ def muscl(
     *,
     D=None,
     high_order: bool = False,
+    lim_scale=None,
 ):
     """MUSCL face reconstruction with minmod limiting and optional sensor
     blending toward a central (or 4th-order Pade) scheme.
@@ -194,6 +195,8 @@ def muscl(
     slope_n = (2 * dun - grad_f) * dnb
 
     lim = minmod(slope_n, slope_o)
+    if lim_scale is not None:
+        lim = lim * _bcast(lim_scale, lim)
     uL = uown + lim
     uR = uneigh - lim
 

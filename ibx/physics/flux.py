@@ -45,16 +45,31 @@ def _flux_one_side(fluid: Fluid, P, dim):
     return Q, F, u_n
 
 
-def inviscid_fluxes_hll(fluid: Fluid, PL, PR, dim: Union[int, jnp.ndarray]):
+def inviscid_fluxes_hll(fluid: Fluid, PL, PR, dim: Union[int, jnp.ndarray],
+                        *, fix=None):
     """HLL flux from left/right primitive states
     (reference ``src/cfd.jl:459-508``, including its wave-speed choice
-    ``SL = max(uL + aL, 0)``, ``SR = min(uR - aR, 0)``)."""
+    ``SL = max(uL + aL, 0)``, ``SR = min(uR - aR, 0)``).
+
+    ``fix`` (optional [..., 1] blend in [0, 1]): where > 0, widens the
+    wave speeds toward the two-sided Einfeldt/Davis bounds
+    ``SL = max(uL + aL, uR + aR, 0)``, ``SR = min(uL - aL, uR - aR, 0)``
+    — an entropy fix for strong expansions (the reference's one-sided
+    speeds return F = 0 on bilateral-rarefaction faces, which lets the
+    sharp-trailing-edge expansion run to vacuum on fine meshes). Default
+    None keeps the reference formula bit-exact.
+    """
     QL, FL, uL = _flux_one_side(fluid, PL, dim)
     QR, FR, uR = _flux_one_side(fluid, PR, dim)
     aL = speed_of_sound(fluid, PL[..., 1])
     aR = speed_of_sound(fluid, PR[..., 1])
     SL = jnp.maximum(uL + aL, 0.0)[..., None]
     SR = jnp.minimum(uR - aR, 0.0)[..., None]
+    if fix is not None:
+        SLe = jnp.maximum(SL, (uR + aR)[..., None])
+        SRe = jnp.minimum(SR, (uL - aL)[..., None])
+        SL = SL + fix * (SLe - SL)
+        SR = SR + fix * (SRe - SR)
     # SL = SR = 0 on a supersonic-rarefaction face (uL < -aL and uR > aR,
     # e.g. the deepening trailing-edge expansion on fine meshes): the
     # reference formula then divides 0/0 and the march NaNs. Guard exactly

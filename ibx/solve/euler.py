@@ -31,16 +31,29 @@ def euler_rhs(
     high_order: bool = True,
     viscous: bool = False,
     mu_t=0.0,
+    fix=None,
 ):
     """dQ/dt from primitives: MUSCL(JST-blended) + HLL per dimension,
-    optional viscous fluxes from orthogonality-corrected face gradients."""
+    optional viscous fluxes from orthogonality-corrected face gradients.
+
+    ``fix`` (optional [N] in [0, 1]): trailing-edge robustness blend —
+    same semantics as `ibx.ops.block_ops.euler_rhs_grid(fix3=...)`:
+    first-order upwinding + Einfeldt HLL speeds where > 0."""
     nu = ops.jst_sensor(part, P[:, 0])
+    if fix is not None:
+        nu = jnp.maximum(nu, fix)
     R = jnp.zeros_like(P)
     grad = ops.cell_gradient(part, P) if viscous else None
     for dim in range(part.nd):
         dP = grad[dim] if viscous else ops.cell_gradient(part, P, dim)
-        PL, PR = ops.muscl(part, P, dP, dim, D=nu, high_order=high_order)
-        F = inviscid_fluxes_hll(fluid, PL, PR, dim)
+        fo = None
+        if fix is not None:
+            fo = jnp.maximum(ops.at_owners(part, fix, dim),
+                             ops.at_neighbors(part, fix, dim))
+        PL, PR = ops.muscl(part, P, dP, dim, D=nu, high_order=high_order,
+                           lim_scale=None if fo is None else 1.0 - fo)
+        F = inviscid_fluxes_hll(fluid, PL, PR, dim,
+                                fix=None if fo is None else fo[:, None])
         if viscous:
             Pf = ops.at_faces(part, P, dim)
             grad_f = ops.face_gradient(part, P, dim, grad)

@@ -42,7 +42,8 @@ _PIB = lax.GatherScatterMode.PROMISE_IN_BOUNDS
 
 
 @pytree_dataclass(meta_fields=("names", "bs", "nd", "n_patch", "n_fb",
-                               "fb_width", "g_pad_front", "g_pad_len"))
+                               "fb_width", "g_pad_front", "g_pad_len",
+                               "patch_win"))
 class BlockedBC:
     """Fused multi-family ghost BC on the block-grid state.
 
@@ -52,8 +53,8 @@ class BlockedBC:
     """
 
     # image interpolation
-    patch_start: jnp.ndarray   # int32[Gp, 2] (block, y0) 2-row patch starts
-    patch_w: jnp.ndarray       # f32[Gp, 2*bs] statically scattered weights
+    patch_start: jnp.ndarray   # int32[Gp, nd] (block, (z0,) y0) patch starts
+    patch_w: jnp.ndarray       # f32[Gp, prod(win)*bs] scattered weights
     fb_start: jnp.ndarray      # int32[Gf*K, 1+nd] (block, y.., x) per point
     fb_w: jnp.ndarray          # f32[Gf, K]
     # BC data (canonical ghost order: patch ghosts first, then fallback)
@@ -80,6 +81,7 @@ class BlockedBC:
     fb_width: int
     g_pad_front: int
     g_pad_len: int
+    patch_win: Tuple[int, ...]
 
     def interpolate(self, P3):
         """Image-point values [G, C] in canonical ghost order."""
@@ -87,18 +89,20 @@ class BlockedBC:
         C = P3.shape[-1]
         parts = []
         if self.n_patch:
-            wy = self.patch_w.shape[1] // bs
+            win = self.patch_win    # ((wz,) wy): slow-dim window sizes
+            # operand [B, (z,) y, x, C]; starts (b, (z0,) y0); the slice is
+            # full-width in x and C (narrow partial-row gathers serialize
+            # on TPU; full rows are ~free)
             dn = lax.GatherDimensionNumbers(
-                offset_dims=(1, 2, 3),
-                collapsed_slice_dims=tuple(range(nd - 1)),
-                start_index_map=(0, nd - 1),
+                offset_dims=tuple(range(1, nd + 2)),
+                collapsed_slice_dims=(0,),
+                start_index_map=tuple(range(nd)),
             )
-            # 2D: operand [B, y, x, C], starts (b, y0), slice (1, wy, bs, C)
             patch = lax.gather(
                 P3, self.patch_start, dn,
-                slice_sizes=(1,) * (nd - 1) + (wy, bs, C),
+                slice_sizes=(1,) + win + (bs, C),
                 mode=_PIB,
-            ).reshape(self.n_patch, wy * bs, C)
+            ).reshape(self.n_patch, int(np.prod(win)) * bs, C)
             parts.append((patch * self.patch_w[..., None]).sum(axis=1))
         if self.n_fb:
             dn = lax.GatherDimensionNumbers(
@@ -259,15 +263,21 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
     blk = ghosts // npb
     within = ghosts % npb
 
-    # ---- patch eligibility (WY-row window; 2D only for now) --------------
-    WY = min(3, bs)
+    # ---- patch eligibility: stencil fits one same-block window of
+    # full-x rows (win = (WY,) rows in 2D, (WZ, WY) row-planes in 3D) ----
+    win = (min(3, bs),) if nd == 2 else (min(3, bs), min(3, bs))
+    sblk = idx // npb
+    same = (sblk == sblk[:, :1]).all(axis=1)
+    within_idx = idx % npb
+    rows = within_idx // bs            # y in 2D; (z*bs + y) // bs in 3D
     if nd == 2:
-        sblk = idx // npb
-        same = (sblk == sblk[:, :1]).all(axis=1)
-        rows = (idx % npb) // bs
-        eligible = same & ((rows.max(axis=1) - rows.min(axis=1)) <= WY - 1)
+        spans = [rows % bs]
     else:
-        eligible = np.zeros(ghosts.size, dtype=bool)
+        spans = [within_idx // bs ** 2, rows % bs]   # z, y
+    eligible = same
+    for sp, wdim in zip(spans, win):
+        eligible = eligible & (
+            (sp.max(axis=1) - sp.min(axis=1)) <= wdim - 1)
 
     # canonical order: patch ghosts first, then fallback; id-sorted within
     order = np.lexsort((ghosts, (~eligible).astype(np.int8)))
@@ -282,20 +292,29 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
     Gf = G - Gp
 
     # ---- patch tables ------------------------------------------------------
+    nwin = int(np.prod(win))
     if Gp:
         pidx = idx_c[:Gp]
         pw = w_c[:Gp]
         pb = (pidx[:, 0] // npb).astype(np.int32)
-        prow = (pidx % npb) // bs
-        pcol = (pidx % npb) % bs
-        y0 = np.minimum(prow.min(axis=1), bs - WY).astype(np.int32)
-        patch_start = np.stack([pb, y0], axis=1).astype(np.int32)
-        patch_w = np.zeros((Gp, WY * bs), dtype=np.float32)
-        rr = (prow - y0[:, None]) * bs + pcol
+        pwithin = pidx % npb
+        pcol = pwithin % bs
+        if nd == 2:
+            pspans = [pwithin // bs]
+        else:
+            pspans = [pwithin // bs ** 2, (pwithin // bs) % bs]
+        starts, rr = [pb], np.zeros_like(pcol)
+        for sp, wdim in zip(pspans, win):
+            s0 = np.minimum(sp.min(axis=1), bs - wdim).astype(np.int32)
+            starts.append(s0)
+            rr = rr * wdim + (sp - s0[:, None])
+        rr = rr * bs + pcol
+        patch_start = np.stack(starts, axis=1).astype(np.int32)
+        patch_w = np.zeros((Gp, nwin * bs), dtype=np.float32)
         np.add.at(patch_w, (np.arange(Gp)[:, None], rr), pw)
     else:
-        patch_start = np.zeros((0, 2), np.int32)
-        patch_w = np.zeros((0, WY * bs), np.float32)
+        patch_start = np.zeros((0, nd), np.int32)
+        patch_w = np.zeros((0, nwin * bs), np.float32)
 
     # ---- fallback tables ---------------------------------------------------
     if Gf:
@@ -429,5 +448,6 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         fb_width=K,
         g_pad_front=pad_front,
         g_pad_len=pad_len,
+        patch_win=win,
     )
     return jax.device_put(bc)

@@ -58,6 +58,20 @@ def ghosts_and_projections_stl(
             centers[cand[sl]], R=R[sl], d_init=d_init[sl]
         )
     mask = dists <= diams[cand] * ghost_layer_ratio
+    # rows whose ball search stayed empty come back with NaN projections;
+    # when such a row is still inside the band (the tiered distance
+    # over-estimated the candidate radius bound) it IS a ghost and needs a
+    # real projection — re-run those few rows with a fresh radius bound.
+    # (Before round 3 these silently kept centers[0] as their projection.)
+    bad = np.isnan(projs[:, 0]) & mask
+    if bad.any():
+        idx = np.nonzero(bad)[0]
+        projs[idx], dists[idx] = dfield.projection(
+            centers[cand[idx]],
+            R=dists[idx].astype(np.float64) + 2.0 * r_s + 1e-6,
+        )
+        mask = dists <= diams[cand] * ghost_layer_ratio
+        assert not (np.isnan(projs[:, 0]) & mask).any()
     return cand[mask].astype(np.int64), projs[mask]
 
 

@@ -72,6 +72,41 @@ def test_rhs_parity(case, bt):
     assert err.max() < 2e-4, f"max rel err {err.max()}"
 
 
+def test_rhs_parity_te_fix(case, bt):
+    """The trailing-edge robustness blend (first-order + Einfeldt speeds)
+    must agree between the generic and block paths, and must actually
+    change the residual where the blend is active."""
+    dom = case.dom
+    part = dom.partitions[0]
+    P = np.asarray(case.P0).copy()
+    x, y = dom.centers[:, 0], dom.centers[:, 1]
+    P[:, 0] *= (1.0 + 0.05 * np.sin(3 * x) * np.cos(y)).astype(np.float32)
+    P[:, 2] += 30.0 * np.sin(2 * y).astype(np.float32)
+    P = jnp.asarray(P)
+    r = 0.3
+    d_te = np.sqrt((x - 1.0) ** 2 + y ** 2)
+    fix = np.clip((2 * r - d_te) / r, 0.0, 1.0).astype(np.float32)
+    fixj = jnp.asarray(fix)
+
+    R_ref = np.asarray(jax.jit(
+        lambda P: euler_rhs(part, case.fluid, P, fix=fixj)
+    )(P))
+    R_blk = np.asarray(jax.jit(
+        lambda P: bops.euler_rhs_block(bt, case.fluid, P, fix=fixj)
+    )(P))
+    scale = np.abs(R_ref).max(axis=0) + 1e-3
+    err = np.abs(R_blk - R_ref) / scale
+    assert err.max() < 2e-4, f"max rel err {err.max()}"
+
+    R_plain = np.asarray(jax.jit(
+        lambda P: euler_rhs(part, case.fluid, P)
+    )(P))
+    changed = np.abs(R_plain - R_ref).max(axis=1)
+    assert changed[fix > 0.5].max() > 0
+    # far from the TE the scheme is untouched
+    assert changed[d_te > 2 * r + 0.5].max() == 0.0
+
+
 def test_dt_parity(case, bt):
     dom = case.dom
     part = dom.partitions[0]
