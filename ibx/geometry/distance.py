@@ -139,13 +139,20 @@ class DistanceField:
 
     @staticmethod
     def _brute_min(pts: np.ndarray, sub: np.ndarray,
-                   chunk: int = 65536) -> np.ndarray:
+                   chunk: int = 0) -> np.ndarray:
         out = np.empty(pts.shape[0], np.float32)
+        subT = np.ascontiguousarray(sub.T.astype(np.float32))
         s2 = (sub.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+        # block so the [chunk, k] distance matrix stays cache-resident:
+        # the K=2/3 "matmul" is pure bandwidth, and a 65536-row chunk
+        # (100-500 MB of temporaries) ran at ~140 MFLOP/s on this box —
+        # 80+ s per flagship-build call; cache-blocked it is ~100x faster
+        if chunk <= 0:
+            chunk = max(512, (1 << 21) // max(1, sub.shape[0]))
         for i in range(0, pts.shape[0], chunk):
             q = pts[i:i + chunk]
-            d2 = ((q ** 2).sum(axis=1)[:, None]
-                  - 2.0 * (q @ sub.T) + s2[None, :])
+            d2 = (q ** 2).sum(axis=1)[:, None] - 2.0 * (q @ subT)
+            d2 += s2[None, :]
             out[i:i + chunk] = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
         return out
 

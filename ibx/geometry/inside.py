@@ -16,13 +16,18 @@ from .stereolitography import Stereolitography
 
 
 def points_inside_2d(stl: Stereolitography, pts: np.ndarray,
-                     chunk: int = 65536) -> np.ndarray:
+                     chunk: int = 0) -> np.ndarray:
     """Winding-number (crossing) test for closed 2D polylines.
 
     pts: [N, 2]. Returns bool[N], True strictly inside.
     """
     pts = np.asarray(pts, dtype=np.float64)
     seg = stl.points[stl.simplices].astype(np.float64)  # [M, 2, 2]
+    if chunk <= 0:
+        # keep the [chunk, M] crossing matrix cache-resident: a 65536-row
+        # chunk against a refined surface (~12k segments) allocates
+        # multi-GB temporaries and thrashes this 1-CPU box
+        chunk = max(256, (1 << 22) // max(1, seg.shape[0]))
     x1, y1 = seg[:, 0, 0], seg[:, 0, 1]
     x2, y2 = seg[:, 1, 0], seg[:, 1, 1]
 
@@ -49,7 +54,7 @@ def points_inside_2d(stl: Stereolitography, pts: np.ndarray,
 
 
 def points_inside_3d(stl: Stereolitography, pts: np.ndarray,
-                     chunk: int = 8192) -> np.ndarray:
+                     chunk: int = 0) -> np.ndarray:
     """Ray-parity test for closed triangulated surfaces (+x ray).
 
     pts: [N, 3]. Returns bool[N], True inside (parity of triangle
@@ -57,6 +62,9 @@ def points_inside_3d(stl: Stereolitography, pts: np.ndarray,
     """
     pts = np.asarray(pts, dtype=np.float64)
     tri = stl.points[stl.simplices].astype(np.float64)  # [M, 3, 3]
+    if chunk <= 0:
+        # [chunk, M, 3] temporaries must stay cache-resident (see 2D note)
+        chunk = max(64, (1 << 21) // max(1, tri.shape[0]))
     inside = np.zeros(pts.shape[0], dtype=bool)
     bb_lo = tri.reshape(-1, 3).min(axis=0)
     bb_hi = tri.reshape(-1, 3).max(axis=0)

@@ -52,9 +52,17 @@ def _pad_rows(a: np.ndarray, n: int, fill=0):
 
 
 class ShardedBlockDomain:
-    """Stacked per-device block tables + halo machinery."""
+    """Stacked per-device block tables + halo machinery.
 
-    def __init__(self, dom: Domain, mesh: Mesh):
+    ``overlap=True`` additionally compiles an interior/frontier split of
+    the RHS (VERDICT round-2 item 3): the interior pass runs on own blocks
+    only and carries NO data dependence on the halo ppermute, so XLA's
+    latency-hiding scheduler can overlap the collective with the bulk of
+    the FLOPs; the frontier pass re-evaluates the (small) halo-adjacent
+    block set on a compact subgrid once the exchange lands.
+    """
+
+    def __init__(self, dom: Domain, mesh: Mesh, *, overlap: bool = False):
         assert dom.n_partitions == 1, "build from a single-partition Domain"
         msh = dom.mesh
         self.dom = dom
@@ -292,6 +300,93 @@ class ShardedBlockDomain:
             bc=bc_stacked,
             send_idx={o: send_idx[o] for o in offs},
         )
+
+        # ---- interior/frontier overlap split -----------------------------
+        self.overlap = bool(overlap) and P > 1
+        if self.overlap:
+            def build_subset(glob_blocks: np.ndarray, B_sub: int):
+                """BlockTables over an arbitrary global-block subset mapped
+                to rows 0..n-1 (pad rows inert, dump row last)."""
+                n_real = glob_blocks.size
+                g2s = np.full(B, -1, np.int64)
+                g2s[glob_blocks] = np.arange(n_real)
+                fob = np.where(fo >= 0, g2s[np.maximum(fo // npb, 0)], -2)
+                fnb = np.where(fn >= 0, g2s[np.maximum(fn // npb, 0)], -2)
+                keep = ((fo < 0) | (fob >= 0)) & ((fn < 0) | (fnb >= 0)) \
+                    & ~((fo < 0) & (fn < 0))
+                lfo = np.where(fo[keep] >= 0,
+                               fob[keep] * npb + fo[keep] % npb, -1)
+                lfn = np.where(fn[keep] >= 0,
+                               fnb[keep] * npb + fn[keep] % npb, -1)
+                w_loc = np.ones((B_sub * npb, nd), np.float32)
+                c_loc = np.zeros((B_sub * npb, nd), np.float32)
+                src_c = (glob_blocks[:, None] * npb
+                         + np.arange(npb)[None, :]).reshape(-1)
+                dst_c = np.arange(n_real * npb)
+                w_loc[dst_c] = widths[src_c]
+                c_loc[dst_c] = centers[src_c]
+                borig = np.zeros((B_sub, nd), np.float64)
+                bwid = np.full((B_sub, nd), float(bs), np.float64)
+                borig[:n_real] = msh.block_origins[glob_blocks]
+                bwid[:n_real] = msh.block_widths[glob_blocks]
+                return build_block_tables_raw(
+                    nd=nd, bs=bs, B=B_sub,
+                    fdim=fdim[keep], fo=lfo, fn=lfn,
+                    widths=w_loc, centers=c_loc,
+                    block_origins=borig, block_widths=bwid,
+                ), g2s
+
+            adjm: Dict[int, set] = {}
+            for a, b in pairs:
+                adjm.setdefault(int(a), set()).add(int(b))
+
+            def nbrs(blks):
+                out = set()
+                for b in blks:
+                    out |= adjm.get(int(b), set())
+                return out
+
+            bts_own, bts_sub = [], []
+            S_list, F_list = [], []
+            for p in range(P):
+                lo, hi = p * chunk, min((p + 1) * chunk, B)
+                O = set(range(lo, hi))
+                H = set(halo[p])
+                d1 = nbrs(H) & O
+                F = d1 | (nbrs(d1) & O)         # own blocks within 2 of halo
+                s1 = nbrs(F) & (O | H)
+                s2 = nbrs(s1) & (O | H)
+                S = np.asarray(sorted(F | s1 | s2), np.int64)
+                F_list.append(F)
+                S_list.append(S)
+            S_max = max(1, max(s.size for s in S_list))
+            self.B_own_loc = chunk + 1
+            self.B_sub_loc = S_max + 1
+            sub_src = np.full((P, S_max + 1), B_loc - 1, np.int32)
+            fr_idx = np.full((P, chunk), S_max, np.int32)
+            fr_mask = np.zeros((P, chunk), np.float32)
+            for p in range(P):
+                lo, hi = p * chunk, min((p + 1) * chunk, B)
+                own_blocks = np.arange(lo, hi, dtype=np.int64)
+                bt_o, _ = build_subset(own_blocks, chunk + 1)
+                bts_own.append(bt_o)
+                S = S_list[p]
+                bt_s, g2s = build_subset(S, S_max + 1)
+                bts_sub.append(bt_s)
+                # local-grid rows feeding the subgrid (own and halo alike)
+                g2l = np.full(B, -1, np.int64)
+                real = l2g[p] >= 0
+                g2l[l2g[p][real]] = np.nonzero(real)[0]
+                assert (g2l[S] >= 0).all(), "subgrid escaped the local grid"
+                sub_src[p, : S.size] = g2l[S]
+                for b in F_list[p]:
+                    fr_idx[p, b - lo] = g2s[b]
+                    fr_mask[p, b - lo] = 1.0
+            tables["bt_own"] = self._stack_block_tables(bts_own, chunk + 1)
+            tables["bt_sub"] = self._stack_block_tables(bts_sub, S_max + 1)
+            tables["sub_src"] = sub_src
+            tables["fr_idx"] = fr_idx
+            tables["fr_mask"] = fr_mask
         sharding = jax.sharding.NamedSharding(self.mesh, PartitionSpec("p"))
         self.tables = jax.tree_util.tree_map(
             lambda a: jax.device_put(jnp.asarray(a), sharding), tables
@@ -302,8 +397,10 @@ class ShardedBlockDomain:
 
     # -- per-device table stacking ----------------------------------------
 
-    def _stack_block_tables(self, bts: List[BlockTables]):
-        P, nd, B_loc = self.P, self.nd, self.B_loc
+    def _stack_block_tables(self, bts: List[BlockTables], B_loc: int = None):
+        P, nd = self.P, self.nd
+        if B_loc is None:
+            B_loc = self.B_loc
         dump = B_loc - 1
 
         def stack2(get, pad_fill=0, pad_to=None):
@@ -367,9 +464,12 @@ class ShardedBlockDomain:
                 [np.asarray(bt.spacing_flat) for bt in bts]),
         )
 
-    def _local_bt(self, t) -> BlockTables:
+    def _local_bt(self, t, key: str = "bt",
+                  n_blocks: int = None) -> BlockTables:
         nd = self.nd
-        bt = t["bt"]
+        bt = t[key]
+        if n_blocks is None:
+            n_blocks = self.B_loc
 
         def g2(key, d, s):
             return bt[key][d][s][0]
@@ -403,10 +503,10 @@ class ShardedBlockDomain:
             sp_wr=tuple(bt["sp_wr"][d][0][0] for d in range(nd)),
             sp_wl=tuple(bt["sp_wl"][d][0][0] for d in range(nd)),
             spacing_flat=bt["spacing_flat"][0],
-            n_blocks=self.B_loc,
+            n_blocks=n_blocks,
             block_size=self.bs,
             nd=self.nd,
-            n_cells=self.n_loc,
+            n_cells=n_blocks * self.npb,
         )
 
     # -- state layout ------------------------------------------------------
@@ -433,6 +533,21 @@ class ShardedBlockDomain:
         a = np.asarray(a)
         a = a.reshape((self.P * self.chunk * self.npb,) + a.shape[2 + self.nd:])
         return a[: self.B * self.npb]
+
+    def distribute_local(self, a, fill=0.0):
+        """Global flat [N, ...] -> sharded LOCAL grids [P, B_loc, bs.., ...]
+        with halo slots filled from their true global blocks (pad/dump
+        slots get ``fill``). For static per-cell fields consumed inside the
+        RHS (e.g. the TE fix blend) — no per-step exchange needed."""
+        a = np.asarray(a)
+        grids = a.reshape((self.B,) + (self.bs,) * self.nd + a.shape[1:])
+        out = np.full((self.P, self.B_loc) + grids.shape[1:], fill,
+                      grids.dtype)
+        for p in range(self.P):
+            real = self._l2g[p] >= 0
+            out[p][real] = grids[self._l2g[p][real]]
+        sharding = jax.sharding.NamedSharding(self.mesh, PartitionSpec("p"))
+        return jax.device_put(jnp.asarray(out), sharding)
 
     # -- execution ---------------------------------------------------------
 
@@ -494,6 +609,28 @@ class ShardedBlockDomain:
             ctx.pmin = lambda x: jax.lax.pmin(x, "p")
             ctx.pmax = lambda x: jax.lax.pmax(x, "p")
             ctx.psum = lambda x: jax.lax.psum(x, "p")
+
+            if sbd.overlap:
+                # interior pass tables (own blocks + dump; no halo rows,
+                # hence no data dependence on the ppermute) and frontier
+                # subgrid tables (halo-adjacent own blocks + 2-ring
+                # support, compacted)
+                ctx.bt_own = sbd._local_bt(t, "bt_own", sbd.B_own_loc)
+                ctx.bt_sub = sbd._local_bt(t, "bt_sub", sbd.B_sub_loc)
+                ctx.with_dump = lambda own: jnp.concatenate(
+                    [own, own[:1]], axis=0)
+                ctx.subgrid = lambda loc: jnp.take(
+                    loc, t["sub_src"][0], axis=0)
+
+                def merge(R_int, R_fr):
+                    """Interior results overwritten at frontier blocks."""
+                    Ri = jax.lax.slice_in_dim(R_int, 0, sbd.chunk, axis=0)
+                    placed = jnp.take(R_fr, t["fr_idx"][0], axis=0)
+                    m = t["fr_mask"][0].reshape(
+                        (sbd.chunk,) + (1,) * (Ri.ndim - 1))
+                    return jnp.where(m > 0, placed, Ri)
+
+                ctx.merge = merge
 
             res = f(ctx, *(u[0] for u in shards))
             if not isinstance(res, (tuple, list)):

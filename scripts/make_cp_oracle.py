@@ -21,9 +21,18 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
 CONFIGS = {
     "coarse": dict(wall_h=2e-2, feature_h=1e-2, steps=20000),
     "medium": dict(wall_h=1e-2, feature_h=5e-3, steps=30000),
-    "fine": dict(wall_h=5e-4, feature_h=2.5e-4, steps=24000,
-                 block_size=16, cfl=0.6, irs_eps=0.6),
+    # round 3: the trailing-edge "breakdown" was root-caused to host
+    # compile bugs (bogus empty-ball ghost projections + double-counted
+    # exotic-pair faces); with those fixed a plain TVD-RK2 march survives
+    # indefinitely at wall_h = 5e-4 — no IRS needed. Convergence at 881k
+    # cells just needs many more pseudo-steps.
+    "fine": dict(wall_h=5e-4, feature_h=2.5e-4, steps=120000,
+                 block_size=16, cfl=0.6),
 }
+
+# late-march Cp snapshots to quantify the shock limit cycle (phase spread)
+N_PHASE = 8
+PHASE_STRIDE = 500
 
 
 def main():
@@ -37,6 +46,10 @@ def main():
         print(f"[{tag}] cells={case.dom.ncells} build={time.time()-t0:.0f}s",
               flush=True)
         P = case.P0
+        resume = os.environ.get("IBX_ORACLE_RESUME")
+        if resume and os.path.exists(resume):
+            P = case.apply_bcs(np.load(resume)["P"])
+            print(f"[{tag}] resumed state from {resume}", flush=True)
         cl_hist = []
         t0 = time.time()
         chunk = 2000
@@ -47,8 +60,17 @@ def main():
             cl_hist.append((cl, cd))
             print(f"[{tag}] step {(i+1)*chunk}: Cl={cl:.4f} Cd={cd:.5f}",
                   flush=True)
+        # limit-cycle phase sweep
+        cp_phases = []
+        for _ in range(N_PHASE):
+            P = case.march(P, PHASE_STRIDE)
+            jax.block_until_ready(P)
+            cp_phases.append(wall_cp(case, np.asarray(P)))
+            cl, cd = force_coefficients(case, np.asarray(P))
+            cl_hist.append((cl, cd))
         Pn = np.asarray(P)
         assert np.isfinite(Pn).all()
+        np.savez(f"/tmp/rae2822_state_{tag}.npz", P=Pn)   # restart file
         cp = wall_cp(case, Pn)
         surf = case.dom.surfaces["wall"]
         cl, cd = force_coefficients(case, Pn)
@@ -58,8 +80,10 @@ def main():
             x=surf.points[:, 0], y=surf.points[:, 1], cp=cp,
             cl=cl, cd=cd,
             cl_hist=np.asarray(cl_hist, np.float32),
+            cp_phases=np.asarray(cp_phases, np.float32),
             meta=json.dumps(dict(cfg, steps=steps, mach=0.73, alpha=2.31,
-                                 cells=case.dom.ncells)),
+                                 cells=case.dom.ncells,
+                                 phase_stride=PHASE_STRIDE)),
         )
         print(f"[{tag}] wrote {out}  Cl={cl:.4f} Cd={cd:.5f} "
               f"march={time.time()-t0:.0f}s", flush=True)

@@ -44,8 +44,12 @@ def main():
     print(f"[{tag}] cells={case.dom.ncells} build={time.time()-t0:.0f}s "
           f"cfg={kw}", flush=True)
 
+    from ibx.geometry import load_surface, merge_points
     from ibx.geometry.inside import points_inside
-    stl = case.dom.mesh.distance_fields["wall"].stl
+    from ibx.cases.rae2822 import RAE_DAT
+    # the coarse INPUT surface (the refined distance-field stl has ~100x
+    # the segments; the winding test cost scales with it)
+    stl = merge_points(load_surface(RAE_DAT))
     inside = points_inside(stl, case.dom.centers)
     fluid_mask = ~inside
 
