@@ -21,7 +21,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..physics.flux import inviscid_fluxes_hll
+from ..physics.flux import inviscid_fluxes_hll, viscous_fluxes
 from ..physics.fluid import Fluid, primitive2state, speed_of_sound, state2primitive
 from ..topology.blocks import BlockTables
 from .operators import minmod
@@ -287,6 +287,49 @@ def _generic_sparse(bt: BlockTables, d: int, W_flat, face_fn: Callable,
     return out / sp[:, None]
 
 
+def face_accumulate(bt: BlockTables, d: int, W3, face_fn: Callable,
+                    n_out: int, signed_mask):
+    """Green-Gauss-style accumulation of arbitrary per-face quantities into
+    cells along dim ``d`` — the reusable shape of the RHS passes.
+
+    ``face_fn(W_owner, W_neighbor, h_owner, h_neighbor) -> [..., n_out]``
+    computes face values from the packed cell channels ``W3`` ([B, bs..,
+    K]); columns flagged in ``signed_mask`` accumulate (right - left)/h
+    (signed divergence), others (right + left)/h (unsigned). Handles dense
+    faces, structured 2:1 interfaces and the generic sparse leftover —
+    identical coverage to the Euler passes.
+    """
+    Wp = pad_dim(bt, W3, d)
+    Wo, Wn = face_lr(bt, Wp, d)
+    h = _h_bcast(bt, d, 1)
+    vals = face_fn(Wo, Wn, h, h) * face_mask(bt, d, 1)
+    ax = _axis(bt, d)
+    bs = bt.block_size
+    plus = jax.lax.slice_in_dim(vals, 1, bs + 1, axis=ax)
+    minus = jax.lax.slice_in_dim(vals, 0, bs, axis=ax)
+    sgn = jnp.where(jnp.asarray(signed_mask, vals.dtype) > 0, -1.0, 1.0)
+    out = (plus + sgn * minus) / _h_bcast(bt, d, 1)
+
+    cols = interface_corrections(bt, d, W3, face_fn, n_out, signed_mask)
+    out = add_edge_cols(bt, out, cols, d)
+    if bt.sp_owner[d].shape[0]:
+        W_flat = W3.reshape(bt.n_cells, W3.shape[-1])
+        gs = _generic_sparse(bt, d, W_flat, face_fn, n_out, signed_mask)
+        out = out + gs.reshape(out.shape)
+    return out
+
+
+def cell_gradient_grid(bt: BlockTables, u3, d: int):
+    """Green-Gauss cell gradient of ``u3`` [B, bs.., K] along dim ``d`` —
+    dense counterpart of `ibx.ops.operators.cell_gradient`."""
+    K = u3.shape[-1]
+
+    def face_fn(Wo, Wn, ho, hn):
+        return (Wo * hn + Wn * ho) / (ho + hn)
+
+    return face_accumulate(bt, d, u3, face_fn, K, [1.0] * K)
+
+
 def euler_rhs_grid(
     bt: BlockTables,
     fluid: Fluid,
@@ -297,6 +340,8 @@ def euler_rhs_grid(
     cfl: float = 0.8,
     frozen=None,
     fix3=None,
+    viscous: bool = False,
+    mu_t3=None,
 ):
     """Fused Euler dQ/dt on the block-grid state [B, bs, ..., bs, C];
     numerics identical to `ibx.solve.euler.euler_rhs` (MUSCL + JST blending
@@ -313,6 +358,12 @@ def euler_rhs_grid(
     first order — the positivity recipe that keeps a resolved sharp
     trailing edge from expanding to vacuum. Default None = reference
     numerics everywhere.
+
+    ``viscous=True`` subtracts Newtonian viscous + heat-conduction face
+    fluxes (reference ``src/cfd.jl:664-736``) using the pass-A cell
+    gradients with the orthogonality-corrected normal component — the
+    dense counterpart of `ibx.solve.euler.euler_rhs(viscous=True)`.
+    ``mu_t3`` ([B, bs.., 1]) is an optional eddy-viscosity field.
 
     Returns R3 [B, bs.., C]; with ``with_dt`` also dt3 [B, bs..] and the
     frozen (du3_list, nu3) grids.
@@ -395,6 +446,9 @@ def euler_rhs_grid(
     # ---------------- pass B: MUSCL + HLL + divergence ---------------------
     signedB = [1.0] * ncomp
     has_fix = fix3 is not None
+    has_mut = viscous and mu_t3 is not None
+    fix_at = 2 * ncomp + 1                      # channel offsets in W
+    visc_at = fix_at + (1 if has_fix else 0)
 
     R3 = jnp.zeros_like(P3)
     for d in range(nd):
@@ -406,7 +460,8 @@ def euler_rhs_grid(
             dun = Wn[..., ncomp:2 * ncomp]
             Do = Wo[..., 2 * ncomp:2 * ncomp + 1]
             Dn = Wn[..., 2 * ncomp:2 * ncomp + 1]
-            fo = (jnp.maximum(Wo[..., -1:], Wn[..., -1:])
+            fo = (jnp.maximum(Wo[..., fix_at:fix_at + 1],
+                              Wn[..., fix_at:fix_at + 1])
                   if has_fix else None)
             down, dneigh = ho / 2, hn / 2
             grad_f = (Pn - Po) / (down + dneigh)
@@ -425,10 +480,40 @@ def euler_rhs_grid(
                 uf = uf + (duo * down - dun * dneigh) / 8
             PL = PL * D + (1.0 - D) * uf
             PR = PR * D + (1.0 - D) * uf
-            return inviscid_fluxes_hll(fluid, PL, PR, d, fix=fo)
+            F = inviscid_fluxes_hll(fluid, PL, PR, d, fix=fo)
+            if viscous:
+                # at_faces interp of P, lateral gradients and mu_t;
+                # normal gradient = the two-point difference (the
+                # orthogonality-corrected form, src/ImmersedBoundary.jl:
+                # 1051-1069)
+                def at_f(a_o, a_n):
+                    return (a_o * dneigh + a_n * down) / (down + dneigh)
 
-        V3 = jnp.concatenate(
-            [P3, du3, nu3] + ([fix3] if has_fix else []), axis=-1)
+                Pf = at_f(Po, Pn)
+                gf = []
+                off = visc_at
+                for i in range(nd):
+                    if i == d:
+                        gf.append(grad_f)
+                    else:
+                        gf.append(at_f(Wo[..., off:off + ncomp],
+                                       Wn[..., off:off + ncomp]))
+                        off += ncomp
+                mu_t_f = 0.0
+                if has_mut:
+                    mu_t_f = at_f(Wo[..., off:off + 1],
+                                  Wn[..., off:off + 1])[..., 0]
+                F = F - viscous_fluxes(fluid, Pf, gf, d, mu_t=mu_t_f)
+            return F
+
+        Vparts = [P3, du3, nu3]
+        if has_fix:
+            Vparts.append(fix3)
+        if viscous:
+            Vparts.extend(du_grids[i] for i in range(nd) if i != d)
+            if has_mut:
+                Vparts.append(mu_t3)
+        V3 = jnp.concatenate(Vparts, axis=-1)
         Vp = pad_dim(bt, V3, d)
         Vo, Vn = face_lr(bt, Vp, d)
         h = _h_bcast(bt, d, 1)
@@ -440,12 +525,7 @@ def euler_rhs_grid(
             cols = tuple(None if c is None else -c for c in cols)
         R3 = R3 + add_edge_cols(bt, R_dense, cols, d)
         if bt.sp_owner[d].shape[0]:
-            P = P3.reshape(bt.n_cells, ncomp)
-            W_flat = jnp.concatenate(
-                [P, du3.reshape(bt.n_cells, ncomp),
-                 nu3.reshape(bt.n_cells, 1)]
-                + ([fix3.reshape(bt.n_cells, 1)] if has_fix else []),
-                axis=1)
+            W_flat = V3.reshape(bt.n_cells, V3.shape[-1])
             gs = _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
             R3 = R3 - gs.reshape(grid_shape + (ncomp,))
 

@@ -156,16 +156,18 @@ def viscous_fluxes(
     """Newtonian viscous + heat-conduction fluxes (reference
     ``src/cfd.jl:664-736``). ``Pgrad[j]`` is the primitive-variable gradient
     along axis j (same layout as P); ``mu_t`` an optional eddy viscosity.
+    Accepts flat [N, C] or grid [..., C] layouts (components on the last
+    axis).
     """
     from .fluid import dynamic_viscosity, heat_conductivity
 
-    T = P[:, 1]
+    T = P[..., 1]
     mu = dynamic_viscosity(fluid, T) + mu_t
     k = heat_conductivity(fluid, T)
-    nd = P.shape[1] - 2
+    nd = P.shape[-1] - 2
 
     def vel_grad(i, j):
-        return Pgrad[j][:, 2 + i]
+        return Pgrad[j][..., 2 + i]
 
     divu = vel_grad(0, 0)
     for i in range(1, nd):
@@ -179,19 +181,19 @@ def viscous_fluxes(
 
     F = [jnp.zeros_like(T) for _ in range(nd + 2)]
     if isinstance(dim, int):
-        F[1] = Pgrad[dim][:, 1] * k
+        F[1] = Pgrad[dim][..., 1] * k
         for j in range(nd):
-            F[1] = F[1] + tau(dim, j) * P[:, 2 + j]
+            F[1] = F[1] + tau(dim, j) * P[..., 2 + j]
             F[2 + j] = tau(dim, j)
     else:
         tau_dim = []
         for i in range(nd):
             s = jnp.zeros_like(T)
             for j in range(nd):
-                s = s + tau(i, j) * dim[:, j]
+                s = s + tau(i, j) * dim[..., j]
             tau_dim.append(s)
         for j in range(nd):
-            F[1] = F[1] + Pgrad[j][:, 1] * k * dim[:, j]
-            F[1] = F[1] + tau_dim[j] * P[:, 2 + j]
+            F[1] = F[1] + Pgrad[j][..., 1] * k * dim[..., j]
+            F[1] = F[1] + tau_dim[j] * P[..., 2 + j]
             F[2 + j] = tau_dim[j]
-    return jnp.stack(F, axis=1)
+    return jnp.stack(F, axis=-1)

@@ -140,7 +140,7 @@ def wray_agarwal(
     ``src/turbulence.jl:222-241``). grad_R/grad_S: [N, nd] gradients.
     Returns dict with nu_t (= R), nu_R, S (source, capped at 10 R)."""
     C2 = sigma_R + C1 / kappa ** 2
-    gRgS = (grad_R * grad_S).sum(axis=1)
+    gRgS = (grad_R * grad_S).sum(axis=-1)
     src = C1 * R * S + C2 * gRgS * (R / (S + _EPS32))
     src = jnp.minimum(src, 10.0 * R)
     return dict(nu_t=R, nu_R=R * sigma_R, S=src)

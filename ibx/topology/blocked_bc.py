@@ -61,6 +61,7 @@ class BlockedBC:
     normals: jnp.ndarray       # f32[G, nd]
     eta: jnp.ndarray           # f32[G, 1]
     family: jnp.ndarray        # int32[G]
+    image_distances: jnp.ndarray  # f32[G] (wall-model BCs need them)
     # phase-view run placement (see `place`)
     gblocks: jnp.ndarray       # int32[GB] sorted ghost-block ids
     tile_row: jnp.ndarray      # int32[GB, n_tiles, T] rows into phase stack
@@ -234,6 +235,7 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
     names = list(names)
 
     ghost_l, idx_l, w_l, nrm_l, eta_l, fam_l = [], [], [], [], [], []
+    imd_l = []
     for i, name in enumerate(names):
         hb = dom._host_boundaries[name]
         ghost_l.append(hb.ghosts)
@@ -241,6 +243,7 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         w_l.append(hb.interp_w)
         nrm_l.append(hb.normals)
         eta_l.append(hb.ghost_distances / hb.image_distances)
+        imd_l.append(hb.image_distances)
         fam_l.append(np.full(hb.ghosts.size, i, dtype=np.int32))
     ghosts = np.concatenate(ghost_l)
     if np.unique(ghosts).size != ghosts.size:
@@ -258,6 +261,7 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
     w = np.concatenate([padk(a, False) for a in w_l]).astype(np.float32)
     normals = np.concatenate(nrm_l).astype(np.float32)
     eta = np.concatenate(eta_l).astype(np.float32)
+    imd = np.concatenate(imd_l).astype(np.float32)
     family = np.concatenate(fam_l)
 
     blk = ghosts // npb
@@ -429,6 +433,7 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         fb_w=np.ascontiguousarray(fb_w, dtype=np.float32),
         normals=normals[order],
         eta=eta[order][:, None],
+        image_distances=imd[order],
         family=family[order].astype(np.int32),
         gblocks=gblocks.astype(np.int32),
         tile_row=tile_row,

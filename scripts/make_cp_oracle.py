@@ -47,9 +47,35 @@ def main():
               flush=True)
         P = case.P0
         resume = os.environ.get("IBX_ORACLE_RESUME")
+        seed = os.environ.get("IBX_ORACLE_SEED")
         if resume and os.path.exists(resume):
             P = case.apply_bcs(np.load(resume)["P"])
             print(f"[{tag}] resumed state from {resume}", flush=True)
+        elif seed:
+            # grid sequencing: converge a coarser level first and IDW-
+            # transfer it up — the explicit local-dt march at 881k cells
+            # needs O(100k) steps from freestream, but only a local
+            # relaxation from a converged coarser solution (the standard
+            # production startup; reference multigrid transfers
+            # src/ImmersedBoundary.jl:1391-1392 are the same operator).
+            from ibx.solve.interp_util import idw_interpolator
+            from ibx.ops.stencil import apply_stencil
+            scfg = dict(CONFIGS[seed])
+            s_steps = scfg.pop("steps")
+            scfg.setdefault("cfl", 0.7)
+            t1 = time.time()
+            seed_case = build_rae2822(**scfg)
+            Ps = seed_case.P0
+            for _ in range(s_steps // 2000):
+                Ps = seed_case.march(Ps, 2000)
+                jax.block_until_ready(Ps)
+            cl_s, cd_s = force_coefficients(seed_case, np.asarray(Ps))
+            print(f"[{tag}] seed {seed} converged: Cl={cl_s:.4f} "
+                  f"Cd={cd_s:.5f} ({time.time()-t1:.0f}s)", flush=True)
+            st = jax.device_put(idw_interpolator(
+                seed_case.dom.centers, case.dom.centers))
+            P = case.apply_bcs(apply_stencil(st, np.asarray(Ps)))
+            del seed_case, Ps
         cl_hist = []
         t0 = time.time()
         chunk = 2000

@@ -43,3 +43,27 @@ def test_rans_residual_drops(rans_case):
     P, Rt = case.march(P, Rt, 300)
     _, _, r1 = case.step(P, Rt)
     assert float(r1) < float(r0)
+
+
+def test_rans_block_path_matches_generic():
+    """The grid-native RANS step (dense ops + BlockedBC) must reproduce
+    the generic gather-path step."""
+    import jax.numpy as jnp
+
+    cb = build_rae2822_rans(wall_h=4e-2, feature_h=2e-2, use_blocks=True)
+    cg = build_rae2822_rans(wall_h=4e-2, feature_h=2e-2, use_blocks=False)
+    np.testing.assert_allclose(np.asarray(cb.P0), np.asarray(cg.P0),
+                               rtol=2e-5)
+
+    Pb, Rtb = cb.P0, cb.Rt0
+    Pg, Rtg = cg.P0, cg.Rt0
+    for _ in range(5):
+        Pb, Rtb, _ = cb.step(Pb, Rtb)
+        Pg, Rtg, _ = cg.step(Pg, Rtg)
+    Pb, Rtb = np.asarray(Pb), np.asarray(Rtb)
+    Pg, Rtg = np.asarray(Pg), np.asarray(Rtg)
+    scale = np.abs(Pg).max(axis=0)
+    err = (np.abs(Pb - Pg) / scale).max()
+    assert err < 2e-4, f"RANS block-vs-generic P mismatch {err}"
+    errR = np.abs(Rtb - Rtg).max() / (np.abs(Rtg).max() + 1e-12)
+    assert errR < 2e-3, f"RANS block-vs-generic Rt mismatch {errR}"

@@ -27,6 +27,41 @@ def channel():
     return dom
 
 
+def test_viscous_block_parity():
+    """Dense-path viscous RHS must reproduce the generic gather path on the
+    flagship mesh (incl. 2:1 interfaces and hypercube boundaries)."""
+    from ibx.cases import build_rae2822
+    from ibx.ops import block_ops as bops
+    from ibx.topology.blocks import build_block_tables
+
+    case = build_rae2822(wall_h=8e-2, feature_h=4e-2)
+    dom = case.dom
+    part = dom.partitions[0]
+    bt = build_block_tables(dom)
+    rng = np.random.default_rng(3)
+    P = np.asarray(case.P0).copy()
+    x, y = dom.centers[:, 0], dom.centers[:, 1]
+    P[:, 0] *= (1.0 + 0.05 * np.sin(x) * np.cos(y)).astype(np.float32)
+    P[:, 2] += 25.0 * np.sin(y).astype(np.float32)
+    P[:, 3] += 12.0 * np.cos(x).astype(np.float32)
+    P = jnp.asarray(P)
+    mu_t = jnp.asarray(
+        (1e-4 * (1.0 + np.abs(np.sin(5 * x)))).astype(np.float32))
+
+    R_ref = np.asarray(jax.jit(
+        lambda P: euler_rhs(part, case.fluid, P, viscous=True, mu_t=mu_t)
+    )(P))
+    mu_t3 = bops.to_blocks(bt, mu_t[:, None])
+    R_blk = np.asarray(jax.jit(
+        lambda P3: bops.euler_rhs_grid(bt, case.fluid, P3, viscous=True,
+                                       mu_t3=mu_t3)
+    )(bops.to_blocks(bt, P))).reshape(-1, 4)
+
+    scale = np.abs(R_ref).max(axis=0) + 1e-3
+    err = np.abs(R_blk - R_ref) / scale
+    assert err.max() < 2e-4, f"viscous block parity max rel err {err.max()}"
+
+
 def test_viscous_rhs_finite_and_dissipative(channel):
     dom = channel
     part = dom.partitions[0]
