@@ -37,6 +37,11 @@ class Rae2822Case:
     march: Callable         # jitted (P, n_steps) -> P   (fori_loop batched)
     P0: jnp.ndarray         # initialized freestream primitives
     apply_bcs: Callable
+    march_robust: Optional[Callable] = None   # first-order+Einfeldt march
+    #   (fix3 = 1 everywhere): positivity-safe relaxation for rough
+    #   startup states, e.g. grid-sequenced transfers
+    grid: Optional[dict] = None   # block-path internals (bt, apply_bcs3,
+    #   active3, fix3) for building custom steppers on the same domain
 
 
 def build_rae2822(
@@ -182,6 +187,17 @@ def build_rae2822(
                 return _grid_step(P3)[0]
             P3 = jax.lax.fori_loop(0, n_steps, body, to_blocks(bt, P))
             return to_flat(bt, P3)
+
+        fix_ones3 = jnp.ones(active3.shape + (1,), jnp.float32)
+
+        @jax.jit
+        def march_robust(P, n_steps):
+            def body(_, P3):
+                return rk2_step_grid(bt, fluid, P3, apply_bcs3, cfl=cfl,
+                                     high_order=high_order, active3=active3,
+                                     fix3=fix_ones3)[0]
+            P3 = jax.lax.fori_loop(0, n_steps, body, to_blocks(bt, P))
+            return to_flat(bt, P3)
     else:
         def _one_step(P):
             return rk2_step(part, fluid, P, apply_bcs, cfl=cfl,
@@ -201,9 +217,13 @@ def build_rae2822(
     P0[inside, 2:] = 0.0      # stagnant solid interior (frozen)
     P0 = apply_bcs(jnp.asarray(P0))
 
+    blocks_on = use_blocks and n_partitions == 1
     return Rae2822Case(
         dom=dom, fluid=fluid, P_inf=P_inf, mach=mach, alpha=alpha_deg,
         step=step, march=march, P0=P0, apply_bcs=apply_bcs,
+        march_robust=march_robust if blocks_on else None,
+        grid=(dict(bt=bt, apply_bcs3=apply_bcs3, active3=active3,
+                   fix3=fix3) if blocks_on else None),
     )
 
 

@@ -84,46 +84,41 @@ class ShardedBlockDomain:
         owner = lambda b: np.minimum(b // chunk, P - 1)  # noqa: E731
 
         # ---- halo sets --------------------------------------------------
+        # The RHS stencil at an own cell reaches 2 cells deep across the
+        # face graph (pass B's face_B consumes the JST sensor nu3 and
+        # gradients du3 AT the neighbor cell, which pass A computes from
+        # that cell's own face neighbors — round-2 advisor finding: one
+        # block ring gave 7.5e-4 sharded-vs-single error from a shocked
+        # state). The EXACT halo is therefore the cell-level 2-ring
+        # closure: its blocks = the face-neighbor blocks plus the corner
+        # blocks the 2-hop lateral paths touch. A block-level second ring
+        # (adj(adj(own))) is a 2-4x overestimate — it tripled both the
+        # exchange volume and the redundant halo compute.
+        N = B * npb
         interior = (fo >= 0) & (fn >= 0)
-        bo = fo[interior] // npb
-        bn = fn[interior] // npb
-        cross = bo != bn
-        pairs = np.unique(
-            np.stack([np.concatenate([bo[cross], bn[cross]]),
-                      np.concatenate([bn[cross], bo[cross]])], axis=1),
-            axis=0,
-        )
+        eo = fo[interior]
+        en = fn[interior]
         need: List[set] = [set() for _ in range(P)]
-        po = owner(pairs[:, 0])
         for p in range(P):
-            sel = pairs[po == p]
-            need[p].update(sel[:, 1].tolist())
+            lo, hi = p * chunk, min((p + 1) * chunk, B)
+            m = np.zeros(N, bool)
+            m[lo * npb: hi * npb] = True
+            for _ in range(2):
+                add_n = en[m[eo]]
+                add_o = eo[m[en]]
+                m[add_n] = True
+                m[add_o] = True
+            need[p].update(np.unique(
+                np.nonzero(m)[0] // npb).tolist())
         for hb in dom._host_boundaries.values():
             gdev = owner(hb.ghosts // npb)
             sblk = hb.interp_idx // npb
             for p in range(P):
                 sel = sblk[gdev == p]
                 need[p].update(sel.reshape(-1).tolist())
-        # Second halo ring: pass B's face_B consumes the JST sensor (nu3)
-        # and gradients (du3) AT first-ring halo cells, and those are
-        # recomputed locally from the halo block's own face neighbors
-        # (nu3 is a max over ALL dims, so lateral neighbors matter). One
-        # ring is not enough — add the face-neighbors of every first-ring
-        # halo block so pass A is exact on the first ring. (Round-2
-        # advisor finding: one ring gave 7.5e-4 sharded-vs-single error
-        # from a shock-developed state.)
-        from collections import defaultdict
-        adj = defaultdict(list)
-        for a, b in pairs:
-            adj[int(a)].append(int(b))
         halo = []
         for p in range(P):
             lo, hi = p * chunk, min((p + 1) * chunk, B)
-            ring1 = {b for b in need[p] if not (lo <= b < hi)}
-            ring2 = set()
-            for b in ring1:
-                ring2.update(adj.get(b, ()))
-            need[p].update(ring2)
             halo.append(sorted(b for b in need[p] if not (lo <= b < hi)))
 
         # ---- ppermute offsets + send tables ------------------------------
@@ -336,15 +331,14 @@ class ShardedBlockDomain:
                     block_origins=borig, block_widths=bwid,
                 ), g2s
 
-            adjm: Dict[int, set] = {}
-            for a, b in pairs:
-                adjm.setdefault(int(a), set()).add(int(b))
-
-            def nbrs(blks):
-                out = set()
-                for b in blks:
-                    out |= adjm.get(int(b), set())
-                return out
+            def expand2_blocks(seed_cells_mask):
+                m = seed_cells_mask.copy()
+                for _ in range(2):
+                    add_n = en[m[eo]]
+                    add_o = eo[m[en]]
+                    m[add_n] = True
+                    m[add_o] = True
+                return set(np.unique(np.nonzero(m)[0] // npb).tolist())
 
             bts_own, bts_sub = [], []
             S_list, F_list = [], []
@@ -352,11 +346,18 @@ class ShardedBlockDomain:
                 lo, hi = p * chunk, min((p + 1) * chunk, B)
                 O = set(range(lo, hi))
                 H = set(halo[p])
-                d1 = nbrs(H) & O
-                F = d1 | (nbrs(d1) & O)         # own blocks within 2 of halo
-                s1 = nbrs(F) & (O | H)
-                s2 = nbrs(s1) & (O | H)
-                S = np.asarray(sorted(F | s1 | s2), np.int64)
+                # frontier = own blocks whose (2-cell-deep) RHS stencil
+                # leaves the own cell range
+                m = np.ones(N, bool)
+                m[lo * npb: hi * npb] = False
+                F = expand2_blocks(m) & O
+                # subgrid = 2-cell-deep support of the frontier blocks,
+                # restricted to locally present blocks
+                m = np.zeros(N, bool)
+                for b in F:
+                    m[b * npb: (b + 1) * npb] = True
+                S = np.asarray(
+                    sorted(expand2_blocks(m) & (O | H)), np.int64)
                 F_list.append(F)
                 S_list.append(S)
             S_max = max(1, max(s.size for s in S_list))

@@ -109,7 +109,7 @@ def state2primitive(fluid: Fluid, Q):
 
 
 def state2primitive_guarded(fluid: Fluid, Q, p_floor=1.0, u_max=3000.0,
-                            rho_floor=1e-6):
+                            rho_floor=1e-6, p_ceil=1e9, T_ceil=2e4):
     """`physicality_guard(state2primitive(...))` as ONE concatenation pass
     (numerically identical where the state is physical; saves a full
     materialization of P per call).
@@ -117,27 +117,31 @@ def state2primitive_guarded(fluid: Fluid, Q, p_floor=1.0, u_max=3000.0,
     Also floors the density: deep expansions (sharp-trailing-edge suction
     on fine meshes) can drive rho <= 0 in a single update, and mom / rho
     then produces inf whose downstream `inf * 0` turns the whole field
-    NaN."""
+    NaN. The generous p/T ceilings bound every downstream flux within
+    f32 range: without them a local runaway (e.g. a rough grid-sequencing
+    transfer) can pump p unboundedly until a flux overflows to inf, and
+    `0 * inf` NaN then spreads through multiplicative masks."""
     rho = jnp.maximum(Q[..., 0], rho_floor)
     E = Q[..., 1]
     u = Q[..., 2:] / rho[..., None]
     kin = (u ** 2).sum(axis=-1) / 2
     p = (fluid.gamma - 1.0) * (E - rho * kin)
     # T from the unguarded p, exactly like state2primitive -> guard
-    T = _clampT(p / (rho * fluid.R))
+    T = jnp.clip(p / (rho * fluid.R), 10.0, T_ceil)
     vmag = jnp.sqrt((u ** 2).sum(axis=-1, keepdims=True) + 1e-12)
     scale = jnp.minimum(1.0, u_max / vmag)
     return jnp.concatenate(
-        [jnp.maximum(p, p_floor)[..., None], T[..., None], u * scale],
+        [jnp.clip(p, p_floor, p_ceil)[..., None], T[..., None], u * scale],
         axis=-1,
     )
 
 
-def physicality_guard(P, p_floor=1.0, u_max=3000.0):
+def physicality_guard(P, p_floor=1.0, u_max=3000.0, p_ceil=1e9, T_ceil=2e4):
     """Floor pressure and cap velocity magnitude (T is clamped by the
     transforms). Engages only on unphysical states; keeps isolated bad
     cells (thin trailing edges, under-resolved coarse multigrid levels)
-    from chain-reacting."""
+    from chain-reacting. Ceilings bound fluxes within f32 (see
+    `state2primitive_guarded`)."""
     u = P[..., 2:]
     # eps inside the sqrt keeps the JVP finite at u = 0 (frozen stagnant
     # interior cells) — sqrt'(0) is infinite otherwise
@@ -146,7 +150,8 @@ def physicality_guard(P, p_floor=1.0, u_max=3000.0):
     # built by concatenation: channel-indexed .at[].set lowers to a slow
     # per-row dynamic-update-slice on TPU
     return jnp.concatenate(
-        [jnp.maximum(P[..., 0:1], p_floor), P[..., 1:2], u * scale], axis=-1
+        [jnp.clip(P[..., 0:1], p_floor, p_ceil),
+         jnp.clip(P[..., 1:2], None, T_ceil), u * scale], axis=-1
     )
 
 

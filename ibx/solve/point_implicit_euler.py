@@ -40,25 +40,37 @@ def point_implicit_step(
     n_krylov: int = 8,
     relax: float = 1.0,
     high_order: bool = True,
+    freeze_limiter: bool = False,
     key=None,
 ):
     """One backward-Euler pseudo step with point-implicit preconditioning.
+
+    ``freeze_limiter=True`` linearizes through the frozen-gradient/sensor
+    RHS (minmod arguments and JST sensor held at their Q_n values): the
+    limiter's kinks make the exact Jacobian wildly indefinite on shocked
+    meshes, which is what made implicit CFLs diverge in round 2. The
+    step's RIGHT-hand side is unchanged (the frozen residual equals the
+    true residual AT Q_n), only the Jacobian-vector products smooth out —
+    the classical frozen-coefficient implicit linearization.
 
     Returns (P_new, linear_residual_ratio). Jit-compatible.
     """
     Qn = primitive2state(fluid, jnp.asarray(P))
 
+    # pseudo-time scale from the explicit bound, relaxed by the implicit CFL
+    Pb = apply_bcs(physicality_guard(state2primitive(fluid, Qn)))
+    _, dt, frozen_n = euler_rhs_block(bt, fluid, Pb, with_dt=True, cfl=cfl,
+                                      high_order=high_order)
+    frozen = frozen_n if freeze_limiter else None
+
     def residual(Q):
         Pq = physicality_guard(state2primitive(fluid, Q))
         Pq = apply_bcs(Pq)
-        R = euler_rhs_block(bt, fluid, Pq, high_order=high_order)
+        R = euler_rhs_block(bt, fluid, Pq, high_order=high_order,
+                            frozen=frozen)
         if active is not None:
             R = R * active[:, None]
         return R
-
-    # pseudo-time scale from the explicit bound, relaxed by the implicit CFL
-    Pb = apply_bcs(physicality_guard(state2primitive(fluid, Qn)))
-    _, dt, _ = euler_rhs_block(bt, fluid, Pb, with_dt=True, cfl=cfl)
     if active is not None:
         dt = dt * active + (1.0 - active)  # frozen cells: dt=1, R=0
     inv_dt = (1.0 / dt)[:, None]

@@ -149,7 +149,9 @@ class BlockedBC:
         rows = rows.reshape(GB, n_tiles, T, 16, C)
         j = jnp.arange(16, dtype=jnp.int32)
         m = ((j >= self.tile_lo[..., None]) & (j < self.tile_hi[..., None]))
-        placed = (rows * m[..., None].astype(g.dtype)).sum(axis=2)
+        # where(), not multiply: a NaN in an unselected row slot must not
+        # contaminate the tile (0 * NaN = NaN)
+        placed = jnp.where(m[..., None], rows, 0.0).sum(axis=2)
         if self.ovf_src.shape[0]:
             # rare ghosts beyond T covering runs per tile: plain row scatter
             placed = placed.reshape(GB * n_tiles * 16, C).at[self.ovf_dst].set(
@@ -215,7 +217,9 @@ class BlockedBC:
             P3, self.gblocks[:, None], dn,
             slice_sizes=(1,) + (bs,) * nd + (C,), mode=_PIB,
         )
-        new = self.ghost_mask * placed + (1.0 - self.ghost_mask) * old
+        # where(), not blend-by-multiply: NaN in non-ghost placed slots
+        # must not leak into the kept state
+        new = jnp.where(self.ghost_mask > 0, placed, old)
         return P3.at[self.gblocks].set(
             new, unique_indices=True, indices_are_sorted=True
         )

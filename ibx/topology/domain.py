@@ -152,9 +152,28 @@ def _build_host_boundary(
     ghosts: np.ndarray,
     projs: np.ndarray,
     ghost_ratio: float,
+    exclude_cells: Optional[np.ndarray] = None,
 ) -> HostBoundary:
     """Ghost geometry + image-point stencils
-    (reference ``src/ImmersedBoundary.jl:422-448``)."""
+    (reference ``src/ImmersedBoundary.jl:422-448``).
+
+    ``exclude_cells`` (optional bool[N]): cells banned from the stencil
+    source cloud. The reference samples image points over ALL cells —
+    including cells INSIDE the solid. Wherever the geometry is thin
+    (both sides of a sharp trailing edge), the in-solid cells there are
+    ghosts of BOTH surfaces whose values interpolate each other through
+    the eta-blend, and the coupled update iterates with gain > 1: the
+    region runs away to the physicality caps (the round-2 "fine-mesh TE
+    breakdown", root-caused in round 3). The STL boundary build passes
+    the in-solid mask so image stencils only sample solved or fluid-side
+    cells — no feedback loop through unsolved values. (Excluding ALL
+    ghost cells is too much: the image point then sits at the edge of
+    the source cloud and interpolation degrades to >3x extrapolation,
+    which destabilizes the high-order scheme.)
+
+    ``w_cap=4`` additionally falls degenerate (near-collinear) stencils
+    back to convex IDW weights.
+    """
     gc = centers[ghosts]
     normals = gc - projs
     gd = np.sqrt((normals.astype(np.float64) ** 2).sum(1)).astype(np.float32)
@@ -162,7 +181,14 @@ def _build_host_boundary(
     diam = np.sqrt((widths[ghosts].astype(np.float64) ** 2).sum(1)).astype(np.float32)
     image_d = diam * ghost_ratio + _EPS32
     images = projs + normals * image_d[:, None]
-    st = interpolator(centers, images, tree, linear=True)
+    if exclude_cells is not None and exclude_cells.any():
+        src = np.nonzero(~exclude_cells)[0]
+        st = interpolator(centers[src], images, linear=True, w_cap=4.0)
+        st = dataclasses.replace(
+            st, idx=src[np.asarray(st.idx, dtype=np.int64)].astype(
+                st.idx.dtype))
+    else:
+        st = interpolator(centers, images, tree, linear=True, w_cap=4.0)
     return HostBoundary(
         ghosts=ghosts.astype(np.int64),
         projections=projs.astype(np.float32),
@@ -316,8 +342,19 @@ class Domain(DomainExecutionMixin):
                 dfield, centers, widths, ghost_layer_ratio=ghost_layer_ratio
             )
             self._stage(f"ghosts[{bname}]", f"{ghosts.size} ghosts")
+            # ban in-solid cells from image stencils (no BC feedback loop
+            # through unsolved values at thin geometry; see
+            # _build_host_boundary). Only cells in the ghost band can be
+            # stencil sources, so classify just those and their vicinity.
+            from ..geometry.inside import points_inside
+            inside = None
+            if dfield.stl.simplices.shape[0] and ghosts.size:
+                inside = np.zeros(N, bool)
+                inside[ghosts] = points_inside(
+                    dfield.stl, centers[ghosts])
             self._host_boundaries[bname] = _build_host_boundary(
-                centers, widths, tree, ghosts, projs, ghost_layer_ratio
+                centers, widths, tree, ghosts, projs, ghost_layer_ratio,
+                exclude_cells=inside,
             )
             # postprocessing surface (reference src/ImmersedBoundary.jl:743-763)
             stl = dfield.stl

@@ -20,12 +20,23 @@ from ..ops.stencil import Stencil, stencil_from_padded
 _EPS32 = float(np.finfo(np.float32).eps)
 
 
-def linear_weights(X: np.ndarray, idx: np.ndarray, Xq: np.ndarray) -> np.ndarray:
+def linear_weights(X: np.ndarray, idx: np.ndarray, Xq: np.ndarray,
+                   w_cap: float = None) -> np.ndarray:
     """Exact-linear-reproduction weights (reference ``src/nninterp.jl:16-42``).
 
     X: [N, nd] source cloud; idx: [M, k] stencils; Xq: [M, nd] targets.
     Returns w: [M, k] with sum(w)=1 and sum(w * (X[idx]-Xq)) = 0 whenever the
     stencil spans the space; degrades gracefully via pinv otherwise.
+
+    ``w_cap``: geometrically degenerate stencils (near-collinear points —
+    ghost-cell image stencils inside a sharp trailing edge are the
+    canonical case) give pinv weights of magnitude >> 1; interpolating
+    through them AMPLIFIES the sampled field, and inside the eta-blended
+    ghost update that feedback loop runs the trailing-edge region away to
+    the physicality caps (root-caused in round 3: the "fine-mesh TE
+    breakdown" was exactly this). Stencils with sum|w| > w_cap fall back
+    to bounded convex IDW weights; pass ``w_cap=None`` for the raw
+    reference behavior.
     """
     dX = X[idx] - Xq[:, None, :]                      # [M, k, nd]
     dist = np.sqrt((dX ** 2).sum(axis=2)) + _EPS32    # [M, k]
@@ -35,6 +46,11 @@ def linear_weights(X: np.ndarray, idx: np.ndarray, Xq: np.ndarray) -> np.ndarray
     B = A * w0[..., None]
     Bp = np.linalg.pinv(B.astype(np.float64))         # [M, nd+1, k]
     w = Bp[:, -1, :] * w0
+    if w_cap is not None:
+        bad = np.abs(w).sum(axis=1) > w_cap
+        if bad.any():
+            w_idw = w0[bad] / w0[bad].sum(axis=1, keepdims=True)
+            w[bad] = w_idw
     w = np.where(np.abs(w) > _EPS32, w, 0.0)
     return w.astype(np.float32)
 
@@ -57,6 +73,7 @@ def interpolator(
     bias: Optional[np.ndarray] = None,
     linear: bool = True,
     k: int = 0,
+    w_cap: float = None,
 ) -> Stencil:
     """Build a kNN interpolation Stencil from cloud ``X`` to targets ``Xq``.
 
@@ -79,5 +96,6 @@ def interpolator(
         idx = idx[:, None]
     if k == 1:
         idx = idx.reshape(-1, 1)
-    w = linear_weights(X, idx, Xq) if linear else idw_weights(X, idx, Xq)
+    w = (linear_weights(X, idx, Xq, w_cap=w_cap) if linear
+         else idw_weights(X, idx, Xq))
     return stencil_from_padded(idx, w)

@@ -74,8 +74,16 @@ def main():
                   f"Cd={cd_s:.5f} ({time.time()-t1:.0f}s)", flush=True)
             st = jax.device_put(idw_interpolator(
                 seed_case.dom.centers, case.dom.centers))
-            P = case.apply_bcs(apply_stencil(st, np.asarray(Ps)))
+            P = case.apply_bcs(apply_stencil(st, jax.numpy.asarray(Ps)))
             del seed_case, Ps
+            # the transfer leaves wall-crossing discontinuities that the
+            # fine cells amplify (runaway to the velocity cap by ~step
+            # 300); relax them off with the positivity-safe first-order +
+            # Einfeldt march before switching to the accurate scheme
+            P = case.march_robust(P, 2000)
+            jax.block_until_ready(P)
+            cl_r, cd_r = force_coefficients(case, np.asarray(P))
+            print(f"[{tag}] robust startup done: Cl={cl_r:.4f}", flush=True)
         cl_hist = []
         t0 = time.time()
         chunk = 2000
