@@ -60,6 +60,8 @@ def build_rae2822(
     freeze_gradients: bool = False,
     irs_eps: float = 0.0,
     te_fix_radius: float = 0.0,
+    wall_fix_cells: float = 0.0,
+    mirror_wall: bool = False,
 ) -> Rae2822Case:
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
@@ -99,12 +101,34 @@ def build_rae2822(
     farfield_bc = flow_bc(fluid, P_inf)
     wall_bc = flow_bc(fluid, [p_inf, T_inf, 0.0], normal_flow=True)
 
+    # mirror_wall (flagged deviation from the reference's eta-blend,
+    # src/ImmersedBoundary.jl:1220-1245): reflect the ghost normal velocity
+    # (-eta*u_n(image) instead of +eta*u_n(image)). The reference blend
+    # makes the wall effectively porous under near-wall vortical flow —
+    # the fine-mesh circulation-bleed mechanism (BASELINE.md round 3).
+    # Mirroring is gated off where the solid is thinner than ~2 local cell
+    # widths along the inward normal (TE sliver: reflecting BOTH surfaces
+    # into the wake destabilizes the startup transient).
+    _mirror = ("wall",) if mirror_wall else ()
+
+    def _mirror_gate(ghost_ids, normals_g):
+        gc = dom.centers[ghost_ids]
+        depth = 2.0 * dom.widths[ghost_ids].max(axis=1)
+        probe = gc - normals_g * depth[:, None]
+        return points_inside(stl, probe).astype(np.float32)
+
+    _mv_seq = False
+    if mirror_wall and n_partitions == 1:
+        _hb = dom._host_boundaries["wall"]
+        _mv_seq = jnp.asarray(_mirror_gate(_hb.ghosts, _hb.normals))
+
     def apply_bcs_seq(P):
         P = dom.impose_bc(
             "farfield", lambda b, Pi: apply_flow_bc(farfield_bc, Pi, b.normals), P
         )
         P = dom.impose_bc(
-            "wall", lambda b, Pi: apply_flow_bc(wall_bc, Pi, b.normals), P
+            "wall", lambda b, Pi: apply_flow_bc(wall_bc, Pi, b.normals), P,
+            mirror_velocity=_mv_seq,
         )
         return P
 
@@ -120,8 +144,14 @@ def build_rae2822(
 
         from ..physics.fluid import physicality_guard
 
+        _fb_scale = None
+        if mirror_wall:
+            _fb_scale = jnp.asarray(_mirror_gate(
+                np.asarray(fb.ghost), np.asarray(fb.normals)))
+
         def apply_bcs(P):
-            return fb(P, bc_fns, guard=physicality_guard)
+            return fb(P, bc_fns, guard=physicality_guard, mirror=_mirror,
+                      mirror_scale=_fb_scale)
     else:
         apply_bcs = apply_bcs_seq
 
@@ -148,9 +178,15 @@ def build_rae2822(
 
         from ..physics.fluid import physicality_guard
 
+        _bbc_scale = None
+        if mirror_wall:
+            _bbc_scale = jnp.asarray(_mirror_gate(
+                np.asarray(bbc.ghosts), np.asarray(bbc.normals)))
+
         def apply_bcs3(P3):
             return bbc(P3, bc_fns, use_pallas=_use_pallas,
-                       guard=physicality_guard)
+                       guard=physicality_guard, mirror=_mirror,
+                       mirror_scale=_bbc_scale)
 
         active3 = to_blocks(bt, active[:, None])[..., 0]
         stepper = euler_step_grid if scheme == "euler" else rk2_step_grid
@@ -161,12 +197,26 @@ def build_rae2822(
         # blends to first-order upwind with Einfeldt wave speeds
         # (full fix inside r, tapering to reference numerics at 2 r)
         fix3 = None
+        fix_f = np.zeros(dom.ncells, np.float32)
         if te_fix_radius > 0.0:
             te = stl.points[int(np.argmax(stl.points[:, 0]))]
             d_te = np.sqrt(((dom.centers - te[None, :]) ** 2).sum(1))
-            f = np.clip((2.0 * te_fix_radius - d_te) / te_fix_radius,
-                        0.0, 1.0).astype(np.float32)
-            fix3 = to_blocks(bt, jnp.asarray(f)[:, None])
+            fix_f = np.clip((2.0 * te_fix_radius - d_te) / te_fix_radius,
+                            0.0, 1.0).astype(np.float32)
+        if wall_fix_cells > 0.0:
+            # wall-band robustness blend: first-order + Einfeldt within
+            # ~wall_fix_cells cell widths of the surface (h-consistent:
+            # the band shrinks with refinement, so the formal accuracy of
+            # the scheme away from the wall is untouched). Targets the
+            # spurious slip-layer vortex shedding the ghost-cell wall BC
+            # develops at fine resolution (traveling low-pressure blisters
+            # 2-3 cells off the wall; see BASELINE.md round-3 notes).
+            band = wall_fix_cells * wall_h
+            d_w = np.asarray(DistanceField(stl)(dom.centers), np.float64)
+            fw = np.clip((2.0 * band - d_w) / band, 0.0, 1.0)
+            fix_f = np.maximum(fix_f, fw.astype(np.float32))
+        if fix_f.any():
+            fix3 = to_blocks(bt, jnp.asarray(fix_f)[:, None])
 
         def _grid_step(P3):
             kw = {}

@@ -11,37 +11,29 @@ in the reference runs this end to end, but every piece is specified there:
     (``src/cfd.jl:268-273``);
   * mu_t = rho R feeds ``viscous_fluxes`` (``src/cfd.jl:664-736``).
 
-The viscous/turbulent path runs on the generic gather operators (the block
-fast path covers the inviscid flagship); Reynolds number is set by
-rescaling mu_ref (``adjust_Reynolds``, ``src/cfd.jl:645-654``).
+The pseudo-time stepper lives in ``ibx.solve.rans`` (shared with the
+flat-plate validation case); Reynolds number is set by rescaling mu_ref
+(``adjust_Reynolds``, ``src/cfd.jl:645-654``).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Callable
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..geometry import DistanceField, build_mesh, feature_regions, load_surface, merge_points
-from ..ops import operators as ops
 from ..physics.bc import apply_flow_bc, flow_bc
 from ..physics.fluid import (
     adjust_reynolds,
     dynamic_viscosity,
     make_fluid,
-    physicality_guard,
-    primitive2state,
-    reynolds_number,
-    speed_of_sound,
-    state2primitive,
 )
-from ..physics.turbulence import shear_rate, wall_function, wray_agarwal
-from ..solve.euler import euler_rhs
+from ..physics.turbulence import wall_function
+from ..solve.rans import build_rans_march
 from ..topology.domain import Domain
 from .rae2822 import RAE_DAT
 
@@ -90,7 +82,6 @@ def build_rae2822_rans(
             ("farfield", [(0, False), (0, True), (1, False), (1, True)]),
         ],
     )
-    part = dom.partitions[0]
 
     from ..geometry.inside import points_inside
 
@@ -113,15 +104,18 @@ def build_rae2822_rans(
     farfield_bc = flow_bc(fluid, P_inf)
     wall_bc = flow_bc(fluid, [p_inf, T_inf, 0.0], normal_flow=True)
 
-    def wall_fn(bdry, Pi, Rti):
-        nrm = bdry.normals
+    def _wall_state(Pi, nrm, y):
         u = Pi[:, 2:]
         un = (u * nrm).sum(axis=1)
         ut = u - un[:, None] * nrm
         V_t = jnp.sqrt((ut ** 2).sum(axis=1) + 1e-12)
         rho = Pi[:, 0] / (fluid.R * jnp.maximum(Pi[:, 1], 10.0))
         nu = dynamic_viscosity(fluid, Pi[:, 1]) / rho
-        ws = wall_function(bdry.image_distances, V_t, nu)
+        return wall_function(y, V_t, nu)
+
+    def wall_fn(bdry, Pi, Rti):
+        nrm = bdry.normals
+        ws = _wall_state(Pi, nrm, bdry.image_distances)
         if wall_model:
             Pb = apply_flow_bc(
                 wall_bc, Pi, nrm,
@@ -137,96 +131,11 @@ def build_rae2822_rans(
             jnp.full_like(Rti, Rt_inf),
         )
 
-    def apply_bcs(P, Rt):
-        P, Rt2 = dom.impose_bc("farfield", far_fn, P, Rt[:, None])
-        P, Rt2 = dom.impose_bc("wall", wall_fn, P, Rt2)
-        return P, Rt2[:, 0]
-
-    def rans_rhs(P, Rt):
-        """(dQ/dt, dRt/dt): NS + Wray-Agarwal transport."""
-        Rt_pos = jnp.maximum(Rt, 0.0)
-        rho = P[:, 0] / (fluid.R * jnp.maximum(P[:, 1], 10.0))
-        mu_t = rho * Rt_pos
-        R_flow = euler_rhs(part, fluid, P, high_order=high_order,
-                           viscous=True, mu_t=mu_t)
-
-        grad = ops.cell_gradient(part, P)
-        vg = [[grad[j][:, 2 + i] for j in range(part.nd)]
-              for i in range(part.nd)]
-        S = shear_rate(vg)
-        dRt = ops.cell_gradient(part, Rt)
-        gS = ops.cell_gradient(part, S)
-        wa = wray_agarwal(
-            Rt_pos, S,
-            jnp.stack(dRt, axis=1), jnp.stack(gS, axis=1),
-        )
-        nu_lam = dynamic_viscosity(fluid, P[:, 1]) / rho
-        nu_eff = nu_lam + wa["nu_R"]
-
-        nujst = ops.jst_sensor(part, P[:, 0])
-        dRt_dt = wa["S"]
-        for d in range(part.nd):
-            RtL, RtR = ops.muscl(part, Rt, dRt[d], d, D=nujst,
-                                 high_order=high_order)
-            uf = ops.at_faces(part, P[:, 2 + d], d)
-            F = jnp.where(uf >= 0.0, RtL, RtR) * uf
-            dRt_dt = dRt_dt - ops.green_gauss(part, F, d)
-            nu_f = ops.at_faces(part, nu_eff, d)
-            dRt_dt = dRt_dt + ops.green_gauss(
-                part, nu_f * ops.face_gradient(part, Rt, d), d)
-        return R_flow, dRt_dt
-
-    def local_dt(P, Rt):
-        a_loc = speed_of_sound(fluid, P[:, 1])
-        rho = P[:, 0] / (fluid.R * jnp.maximum(P[:, 1], 10.0))
-        nu_eff = dynamic_viscosity(fluid, P[:, 1]) / rho \
-            + jnp.maximum(Rt, 0.0)
-        bound = jnp.zeros(P.shape[0], dtype=P.dtype)
-        for d in range(part.nd):
-            s = jnp.abs(P[:, 2 + d]) + a_loc
-            bound = bound + ops.unsigned_green_gauss(
-                part, ops.at_faces(part, s, d), d)
-            h = part.spacing[:, d]
-            bound = bound + 4.0 * nu_eff / (h * h)
-        return cfl / bound
-
-    def one_step(P, Rt):
-        dt = local_dt(P, Rt) * active
-        R0, T0 = rans_rhs(P, Rt)
-        Q0 = primitive2state(fluid, P)
-        P1 = physicality_guard(state2primitive(fluid, Q0 + dt[:, None] * R0))
-        Rt1 = Rt + dt * T0
-        P1, Rt1 = apply_bcs(P1, Rt1)
-        R1, T1 = rans_rhs(P1, Rt1)
-        P2 = physicality_guard(state2primitive(
-            fluid, Q0 + dt[:, None] * (R0 + R1) / 2))
-        Rt2 = Rt + dt * (T0 + T1) / 2
-        P2, Rt2 = apply_bcs(P2, jnp.maximum(Rt2, 0.0))
-        resnorm = jnp.abs(R0[:, 0] * active).max()
-        return P2, Rt2, resnorm
-
+    blocked_bcs = None
     if use_blocks:
-        # ---- grid-native fast path (VERDICT round-2 item 7): the full
-        # RANS RHS — viscous Euler + Wray-Agarwal transport — on the dense
-        # block operators, BCs through BlockedBC on the fused [P, Rt]
-        # 5-channel state. Numerics match the generic path (parity test in
-        # tests/test_rans.py).
-        from ..ops.block_ops import (
-            cell_gradient_grid,
-            euler_rhs_grid,
-            face_accumulate,
-            minmod as minmod_g,
-            to_blocks,
-            to_flat,
-        )
         from ..topology.blocked_bc import build_blocked_bc
-        from ..topology.blocks import build_block_tables
 
-        bt = build_block_tables(dom)
-        bbc = build_blocked_bc(dom, ["farfield", "wall"])
-        active3 = jnp.asarray(to_blocks(bt, active[:, None])[..., 0])
-        nd = dom.nd
-        imd = bbc.image_distances
+        imd = build_blocked_bc(dom, ["farfield", "wall"]).image_distances
 
         def far_fn_b(Si, nrm):
             return jnp.concatenate([
@@ -236,13 +145,7 @@ def build_rae2822_rans(
 
         def wall_fn_b(Si, nrm):
             Pi = Si[:, :4]
-            u = Pi[:, 2:]
-            un = (u * nrm).sum(axis=1)
-            ut = u - un[:, None] * nrm
-            V_t = jnp.sqrt((ut ** 2).sum(axis=1) + 1e-12)
-            rho = Pi[:, 0] / (fluid.R * jnp.maximum(Pi[:, 1], 10.0))
-            nu = dynamic_viscosity(fluid, Pi[:, 1]) / rho
-            ws = wall_function(imd, V_t, nu)
+            ws = _wall_state(Pi, nrm, imd)
             if wall_model:
                 Pb = apply_flow_bc(wall_bc, Pi, nrm,
                                    image_distances=imd, du_dn=ws.du_dn)
@@ -250,136 +153,24 @@ def build_rae2822_rans(
                 Pb = apply_flow_bc(wall_bc, Pi, nrm)
             return jnp.concatenate([Pb, ws.nu_t[:, None]], axis=1)
 
-        bc_fns_b = {"farfield": far_fn_b, "wall": wall_fn_b}
+        blocked_bcs = {"farfield": far_fn_b, "wall": wall_fn_b}
 
-        def guard_b(g):
-            return jnp.concatenate([
-                physicality_guard(g[:, :4]),
-                jnp.maximum(g[:, 4:5], 0.0),
-            ], axis=1)
-
-        def apply_bcs3(S3):
-            return bbc(S3, bc_fns_b, guard=guard_b)
-
-        def rans_rhs3(S3):
-            P3 = S3[..., :4]
-            Rt3 = S3[..., 4:5]
-            Rt_pos = jnp.maximum(Rt3, 0.0)
-            rho3 = P3[..., 0:1] / (fluid.R * jnp.maximum(P3[..., 1:2], 10.0))
-            mu_t3 = rho3 * Rt_pos
-            R_flow, dta, (du_grids, nu3) = euler_rhs_grid(
-                bt, fluid, P3, with_dt=True, cfl=cfl,
-                high_order=high_order, viscous=True, mu_t3=mu_t3)
-            vg = [[du_grids[j][..., 2 + i] for j in range(nd)]
-                  for i in range(nd)]
-            S = shear_rate(vg)
-            dRt = [cell_gradient_grid(bt, Rt3, d) for d in range(nd)]
-            gS = [cell_gradient_grid(bt, S[..., None], d) for d in range(nd)]
-            wa = wray_agarwal(
-                Rt_pos[..., 0], S,
-                jnp.concatenate(dRt, axis=-1), jnp.concatenate(gS, axis=-1))
-            nu_lam3 = dynamic_viscosity(fluid, P3[..., 1]) / rho3[..., 0]
-            nu_eff3 = nu_lam3 + wa["nu_R"]
-
-            T3 = wa["S"]
-            for d in range(nd):
-                W = jnp.concatenate([
-                    Rt3, dRt[d], nu3, P3[..., 2 + d:3 + d],
-                    nu_eff3[..., None],
-                ], axis=-1)
-
-                def face_T(Wo, Wn, ho, hn):
-                    Rto, Rtn = Wo[..., 0:1], Wn[..., 0:1]
-                    go, gn = Wo[..., 1:2], Wn[..., 1:2]
-                    Do, Dn = Wo[..., 2:3], Wn[..., 2:3]
-                    uo, un_ = Wo[..., 3:4], Wn[..., 3:4]
-                    no, nn = Wo[..., 4:5], Wn[..., 4:5]
-                    down, dneigh = ho / 2, hn / 2
-                    grad_f = (Rtn - Rto) / (down + dneigh)
-                    slope_o = (2 * go - grad_f) * down
-                    slope_n = (2 * gn - grad_f) * dneigh
-                    lim = minmod_g(slope_n, slope_o)
-                    RtL = Rto + lim
-                    RtR = Rtn - lim
-                    D = jnp.maximum(jnp.maximum(Do, Dn), 1e-7)
-                    uf_c = (Rto * dneigh + Rtn * down) / (down + dneigh)
-                    if high_order:
-                        uf_c = uf_c + (go * down - gn * dneigh) / 8
-                    RtL = RtL * D + (1.0 - D) * uf_c
-                    RtR = RtR * D + (1.0 - D) * uf_c
-                    uf = (uo * dneigh + un_ * down) / (down + dneigh)
-                    F_adv = jnp.where(uf >= 0.0, RtL, RtR) * uf
-                    nu_f = (no * dneigh + nn * down) / (down + dneigh)
-                    return F_adv - nu_f * grad_f
-
-                T3 = T3 - face_accumulate(bt, d, W, face_T, 1, [1.0])[..., 0]
-
-            # local dt: acoustic bound (recovered from the fused pass) plus
-            # the viscous diffusion bound (generic `local_dt` recipe)
-            bound = cfl / dta
-            nu_dt = nu_lam3 + Rt_pos[..., 0]
-            for d in range(nd):
-                hcol = bt.h[:, d].reshape((bt.n_blocks,) + (1,) * nd)
-                bound = bound + 4.0 * nu_dt / (hcol * hcol)
-            return R_flow, T3, cfl / bound
-
-        def one_step3(S3):
-            P3 = S3[..., :4]
-            Rt3 = S3[..., 4:5]
-            R0, T0, dt = rans_rhs3(S3)
-            dt = dt * active3
-            Q0 = primitive2state(fluid, P3)
-            P1 = physicality_guard(
-                state2primitive(fluid, Q0 + dt[..., None] * R0))
-            Rt1 = Rt3 + dt[..., None] * T0[..., None]
-            S1 = apply_bcs3(jnp.concatenate([P1, Rt1], axis=-1))
-            R1, T1, _ = rans_rhs3(S1)
-            P2 = physicality_guard(state2primitive(
-                fluid, Q0 + dt[..., None] * (R0 + R1) / 2))
-            Rt2 = Rt3 + dt[..., None] * (T0 + T1)[..., None] / 2
-            S2 = apply_bcs3(jnp.concatenate(
-                [P2, jnp.maximum(Rt2, 0.0)], axis=-1))
-            resnorm = jnp.abs(R0[..., 0] * active3).max()
-            return S2, resnorm
-
-        def one_step(P, Rt):        # noqa: F811 (flat-state wrapper)
-            S3 = to_blocks(bt, jnp.concatenate([P, Rt[:, None]], axis=1))
-            S2, res = one_step3(S3)
-            S2f = to_flat(bt, S2)
-            return S2f[:, :4], S2f[:, 4], res
-
-        @jax.jit
-        def march(P, Rt, n):
-            # grid-native: state stays [B, bs.., 5] through the loop
-            S3 = to_blocks(bt, jnp.concatenate([P, Rt[:, None]], axis=1))
-
-            def body(_, S3):
-                return one_step3(S3)[0]
-
-            Sf = to_flat(bt, jax.lax.fori_loop(0, n, body, S3))
-            return Sf[:, :4], Sf[:, 4]
-    else:
-        @jax.jit
-        def march(P, Rt, n):
-            def body(_, s):
-                P, Rt = s
-                P2, Rt2, _ = one_step(P, Rt)
-                return (P2, Rt2)
-            return jax.lax.fori_loop(0, n, body, (P, Rt))
-
-    @jax.jit
-    def step(P, Rt):
-        return one_step(P, Rt)
+    rm = build_rans_march(
+        dom, fluid, cfl=cfl, active=active,
+        flat_bcs=[("farfield", far_fn), ("wall", wall_fn)],
+        blocked_bcs=blocked_bcs,
+        high_order=high_order, use_blocks=use_blocks,
+    )
 
     P0 = np.tile(P_inf, (dom.ncells, 1))
     P0[inside, 2:] = 0.0
     Rt0 = np.full(dom.ncells, Rt_inf, np.float32)
-    P0, Rt0 = apply_bcs(jnp.asarray(P0), jnp.asarray(Rt0))
+    P0, Rt0 = rm.apply_bcs(jnp.asarray(P0), jnp.asarray(Rt0))
 
     return Rae2822RansCase(
         dom=dom, fluid=fluid, P_inf=P_inf, Rt_inf=Rt_inf, mach=mach,
-        alpha=alpha_deg, reynolds=reynolds, step=step, march=march,
-        P0=P0, Rt0=Rt0, apply_bcs=apply_bcs,
+        alpha=alpha_deg, reynolds=reynolds, step=rm.step, march=rm.march,
+        P0=P0, Rt0=Rt0, apply_bcs=rm.apply_bcs,
     )
 
 

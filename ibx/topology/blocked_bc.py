@@ -62,6 +62,7 @@ class BlockedBC:
     eta: jnp.ndarray           # f32[G, 1]
     family: jnp.ndarray        # int32[G]
     image_distances: jnp.ndarray  # f32[G] (wall-model BCs need them)
+    ghosts: jnp.ndarray        # int32[G] canonical-order global cell ids
     # phase-view run placement (see `place`)
     gblocks: jnp.ndarray       # int32[GB] sorted ghost-block ids
     tile_row: jnp.ndarray      # int32[GB, n_tiles, T] rows into phase stack
@@ -161,7 +162,8 @@ class BlockedBC:
         return placed.reshape((GB,) + (self.bs,) * self.nd + (C,))
 
     def __call__(self, P3, fns: Dict[str, Callable], *,
-                 use_pallas: bool = None, guard: Callable = None):
+                 use_pallas: bool = None, guard: Callable = None,
+                 mirror: Sequence[str] = (), mirror_scale=None):
         """Apply all families' BCs; returns the updated grid state.
 
         ``use_pallas=True`` routes the write-back through the Pallas
@@ -178,6 +180,29 @@ class BlockedBC:
             sel = (self.family == i)[:, None]
             r = ri if r is None else jnp.where(sel, ri, r)
         g = self.eta * Pi + (1.0 - self.eta) * r
+        if mirror:
+            # mirrored-ghost normal velocity (flagged deviation from the
+            # reference blend, which gives the ghost +eta*u_n(image) — a
+            # porous wall under near-wall vortical flow; the mirror makes
+            # it -eta*u_n(image), an actual reflection): g_un -= 2 eta un_i
+            nd = self.nd
+            mm = None
+            for i, name in enumerate(self.names):
+                if name in mirror:
+                    s = self.family == i
+                    mm = s if mm is None else (mm | s)
+            un_i = (Pi[:, 2:2 + nd] * self.normals).sum(axis=1)
+            corr = jnp.where(mm, 2.0 * self.eta[:, 0] * un_i, 0.0)
+            if mirror_scale is not None:
+                # per-ghost gate (e.g. thin-geometry exclusion: mirroring
+                # a trailing-edge sliver reflects BOTH surfaces into the
+                # wake and blows up the startup transient)
+                corr = corr * mirror_scale
+            g = jnp.concatenate([
+                g[:, :2],
+                g[:, 2:2 + nd] - corr[:, None] * self.normals,
+                g[:, 2 + nd:],
+            ], axis=1)
         if guard is not None:
             # keep blended ghosts physical: linear image-point stencils can
             # extrapolate (negative weights) at thin geometry - unguarded
@@ -240,15 +265,25 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
 
     ghost_l, idx_l, w_l, nrm_l, eta_l, fam_l = [], [], [], [], [], []
     imd_l = []
+    # overlapping ghosts (e.g. hypercube corner cells shared by two
+    # families): the LAST listed family wins, matching the sequential
+    # impose_bc semantics of the generic path
+    claimed = {}
     for i, name in enumerate(names):
         hb = dom._host_boundaries[name]
-        ghost_l.append(hb.ghosts)
-        idx_l.append(hb.interp_idx)
-        w_l.append(hb.interp_w)
-        nrm_l.append(hb.normals)
-        eta_l.append(hb.ghost_distances / hb.image_distances)
-        imd_l.append(hb.image_distances)
-        fam_l.append(np.full(hb.ghosts.size, i, dtype=np.int32))
+        for g in hb.ghosts:
+            claimed[int(g)] = i
+    for i, name in enumerate(names):
+        hb = dom._host_boundaries[name]
+        keep = np.array([claimed[int(g)] == i for g in hb.ghosts],
+                        dtype=bool)
+        ghost_l.append(hb.ghosts[keep])
+        idx_l.append(hb.interp_idx[keep])
+        w_l.append(hb.interp_w[keep])
+        nrm_l.append(hb.normals[keep])
+        eta_l.append((hb.ghost_distances / hb.image_distances)[keep])
+        imd_l.append(hb.image_distances[keep])
+        fam_l.append(np.full(int(keep.sum()), i, dtype=np.int32))
     ghosts = np.concatenate(ghost_l)
     if np.unique(ghosts).size != ghosts.size:
         raise ValueError("fused families share ghost cells")
@@ -439,6 +474,7 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         eta=eta[order][:, None],
         image_distances=imd[order],
         family=family[order].astype(np.int32),
+        ghosts=ghosts[order].astype(np.int32),
         gblocks=gblocks.astype(np.int32),
         tile_row=tile_row,
         tile_lo=tile_lo,

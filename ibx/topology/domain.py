@@ -109,12 +109,14 @@ class FusedBoundary:
     family: jnp.ndarray     # int32[G] index into names
     names: Tuple[str, ...]
 
-    def __call__(self, P, fns: Dict[str, Callable], *, guard=None):
+    def __call__(self, P, fns: Dict[str, Callable], *, guard=None,
+                 mirror: Sequence[str] = (), mirror_scale=None):
         """``fns[name](P_image, normals) -> bc values``; returns updated P.
 
         ``guard`` (optional) post-processes the blended ghost rows (e.g.
         `physicality_guard`): linear image stencils can extrapolate with
-        negative weights at thin geometry.
+        negative weights at thin geometry. ``mirror`` (family names) flips
+        the ghost normal velocity to -eta*u_n(image) (see BlockedBC).
         """
         Pi = self.interp(P)
         r = None
@@ -125,6 +127,22 @@ class FusedBoundary:
             )
             r = ri if r is None else jnp.where(sel, ri, r)
         g = self.eta * Pi + (1.0 - self.eta) * r
+        if mirror:
+            nd = self.normals.shape[1]
+            mm = None
+            for i, name in enumerate(self.names):
+                if name in mirror:
+                    s = self.family == i
+                    mm = s if mm is None else (mm | s)
+            un_i = (Pi[:, 2:2 + nd] * self.normals).sum(axis=1)
+            corr = jnp.where(mm, 2.0 * self.eta[:, 0] * un_i, 0.0)
+            if mirror_scale is not None:
+                corr = corr * mirror_scale
+            g = jnp.concatenate([
+                g[:, :2],
+                g[:, 2:2 + nd] - corr[:, None] * self.normals,
+                g[:, 2 + nd:],
+            ], axis=1)
         if guard is not None:
             g = guard(g)
         return P.at[self.ghost].set(
@@ -565,12 +583,15 @@ class Domain(DomainExecutionMixin):
 
     # -- boundary imposition ------------------------------------------------
 
-    def impose_bc(self, name: str, fn, *arrays, **kwargs):
+    def impose_bc(self, name: str, fn, *arrays, mirror_velocity=False,
+                  **kwargs):
         """Functional ghost-cell BC application (reference
         ``src/ImmersedBoundary.jl:1197-1247``).
 
         ``fn(bdry, *image_values, **kwargs)`` maps image-point values to
         boundary values; ghosts blend ``eta * image + (1 - eta) * bc``.
+        ``mirror_velocity`` flips the first array's ghost normal velocity
+        to -eta*u_n(image) (flagged deviation; see FusedBoundary).
         Returns the updated global arrays.
         """
         arrays = [jnp.asarray(a) for a in arrays]
@@ -591,6 +612,19 @@ class Domain(DomainExecutionMixin):
             for i, (ia, ba) in enumerate(zip(iargs, res)):
                 eta = bdry.eta.reshape(bdry.eta.shape + (1,) * (ia.ndim - 1))
                 gvals = eta * ia + (1.0 - eta) * ba
+                if mirror_velocity is not False and i == 0:
+                    nd = bdry.normals.shape[1]
+                    un_i = (ia[:, 2:2 + nd] * bdry.normals).sum(axis=1)
+                    corr = 2.0 * bdry.eta * un_i
+                    if mirror_velocity is not True:
+                        # array gate aligned with this family's ghosts
+                        corr = corr * mirror_velocity
+
+                    gvals = jnp.concatenate([
+                        gvals[:, :2],
+                        gvals[:, 2:2 + nd] - corr[:, None] * bdry.normals,
+                        gvals[:, 2 + nd:],
+                    ], axis=1)
                 outs[i] = outs[i].at[jnp.asarray(ghost_global)].set(
                     gvals, unique_indices=True, indices_are_sorted=True
                 )

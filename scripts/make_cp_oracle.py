@@ -36,9 +36,15 @@ PHASE_STRIDE = 500
 
 
 def main():
-    which = sys.argv[1:] or list(CONFIGS)
+    args = sys.argv[1:]
+    which = [a for a in args if "=" not in a] or list(CONFIGS)
+    overrides = {}
+    for a in args:
+        if "=" in a:
+            k, v = a.split("=")
+            overrides[k] = int(v) if k in ("steps", "block_size") else float(v)
     for tag in which:
-        cfg = dict(CONFIGS[tag])
+        cfg = dict(CONFIGS[tag], **overrides)
         steps = cfg.pop("steps")
         cfg.setdefault("cfl", 0.7)
         t0 = time.time()
