@@ -189,8 +189,14 @@ def _build_host_boundary(
     the source cloud and interpolation degrades to >3x extrapolation,
     which destabilizes the high-order scheme.)
 
-    ``w_cap=4`` additionally falls degenerate (near-collinear) stencils
-    back to convex IDW weights.
+    ``w_cap=1.5`` additionally falls degenerate/extrapolative stencils
+    back to convex IDW weights: the eta-blended ghost update feeds image
+    values back through the stencils every application, so its gain is
+    bounded by eta * sum|w| — caps much above 1 leave slow instabilities
+    on coarse meshes (w_cap=4 diverged the FAS smoothing on the 4e-2
+    RAE2822 hierarchy within ~40 fixed-point iterations; 1.5 is stable
+    there while keeping exact linear reproduction for ~99% of stencils
+    on production meshes, which sit at sum|w| ~ 1.0-1.1).
     """
     gc = centers[ghosts]
     normals = gc - projs
@@ -201,12 +207,12 @@ def _build_host_boundary(
     images = projs + normals * image_d[:, None]
     if exclude_cells is not None and exclude_cells.any():
         src = np.nonzero(~exclude_cells)[0]
-        st = interpolator(centers[src], images, linear=True, w_cap=4.0)
+        st = interpolator(centers[src], images, linear=True, w_cap=1.5)
         st = dataclasses.replace(
             st, idx=src[np.asarray(st.idx, dtype=np.int64)].astype(
                 st.idx.dtype))
     else:
-        st = interpolator(centers, images, tree, linear=True, w_cap=4.0)
+        st = interpolator(centers, images, tree, linear=True, w_cap=1.5)
     return HostBoundary(
         ghosts=ghosts.astype(np.int64),
         projections=projs.astype(np.float32),
