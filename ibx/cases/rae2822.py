@@ -62,6 +62,7 @@ def build_rae2822(
     te_fix_radius: float = 0.0,
     wall_fix_cells: float = 0.0,
     mirror_wall: bool = False,
+    fluid_ghost_ratio: float = None,
 ) -> Rae2822Case:
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
@@ -78,6 +79,7 @@ def build_rae2822(
         hypercube_families=[
             ("farfield", [(0, False), (0, True), (1, False), (1, True)]),
         ],
+        fluid_ghost_ratio=fluid_ghost_ratio,
     )
 
     # freeze cells strictly inside the airfoil (their free evolution — the

@@ -35,14 +35,22 @@ def build_rae2822_block_sharded(
     high_order: bool = True,
     te_fix_radius: float = 0.0,
     overlap: bool = False,
+    case=None,
     **kwargs,
 ):
-    """Returns (sharded_block_domain, jitted step, sharded P0, case)."""
-    case = build_rae2822(
-        wall_h=wall_h, feature_h=feature_h, cfl=cfl,
-        n_partitions=1, high_order=high_order,
-        te_fix_radius=te_fix_radius, **kwargs,
-    )
+    """Returns (sharded_block_domain, jitted step, sharded P0, case).
+
+    ``case`` reuses a prebuilt single-chip case (must match the kwargs that
+    matter to the numerics: the sharded step re-derives its BCs and fix
+    field from the case's domain) — used by overhead measurements to avoid
+    rebuilding the 881k-cell flagship topology twice.
+    """
+    if case is None:
+        case = build_rae2822(
+            wall_h=wall_h, feature_h=feature_h, cfl=cfl,
+            n_partitions=1, high_order=high_order,
+            te_fix_radius=te_fix_radius, **kwargs,
+        )
     mesh = make_device_mesh(n_devices)
     sbd = ShardedBlockDomain(case.dom, mesh, overlap=overlap)
 

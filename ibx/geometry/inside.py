@@ -74,11 +74,17 @@ def points_inside_3d(stl: Stereolitography, pts: np.ndarray,
     if cand.size == 0:
         return inside
 
-    # Moeller-Trumbore along the +x ray, batched over points x triangles
+    # Moeller-Trumbore along a (near-)+x ray, batched over points x
+    # triangles. The direction is tilted by irrational components so rays
+    # from points on axis-aligned feature planes (e.g. the ring stations of
+    # a lofted wing) never travel inside a triangle plane or exactly
+    # through shared edges — the classic ray-parity degeneracy (a shared
+    # edge hit counts in both triangles and cancels).
     v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
     e1 = v1 - v0
     e2 = v2 - v0
-    d = np.array([1.0, 0.0, 0.0])
+    d = np.array([1.0, 1e-4 * np.sqrt(2.0), 1e-4 * np.sqrt(3.0)])
+    d = d / np.linalg.norm(d)
     pvec = np.cross(d, e2)                      # [M, 3]
     det = (e1 * pvec).sum(axis=1)               # [M]
     ok = np.abs(det) > 1e-14

@@ -48,6 +48,59 @@ def polyline(points: np.ndarray, closed: bool = True) -> Stereolitography:
     return Stereolitography(points, simplices)
 
 
+def loft_polyline(
+    section: Stereolitography,
+    z0: float,
+    z1: float,
+    n_sections: int = 2,
+    cap: bool = True,
+) -> Stereolitography:
+    """Extrude a closed 2D section loop into a closed 3D triangulated
+    surface (straight wing): stations at ``n_sections`` equispaced z
+    planes, quad side panels split into triangles, end caps as centroid
+    fans. ``section.points`` must be in loop order (as produced by
+    `polyline` / the Selig ``.dat`` loader).
+
+    No counterpart in the reference (its 3D workloads read STL files);
+    used to assemble the 3D wing RANS workload from the committed RAE2822
+    section. Triangles are oriented so normals point OUTWARD (assuming a
+    counterclockwise section loop; flip z0/z1 otherwise is not needed —
+    orientation only matters through `centers_and_normals` consumers that
+    use unsigned distances/areas).
+    """
+    pts2 = np.asarray(section.points, dtype=np.float64)
+    n = pts2.shape[0]
+    zs = np.linspace(float(z0), float(z1), int(n_sections))
+    rings = [
+        np.concatenate([pts2, np.full((n, 1), z)], axis=1) for z in zs
+    ]
+    points = np.concatenate(rings, axis=0)
+    tris = []
+    i = np.arange(n, dtype=np.int64)
+    j = (i + 1) % n
+    for k in range(len(zs) - 1):
+        a = k * n + i
+        b = k * n + j
+        c = (k + 1) * n + i
+        d = (k + 1) * n + j
+        tris.append(np.stack([a, b, d], axis=1))
+        tris.append(np.stack([a, d, c], axis=1))
+    if cap:
+        centroid = pts2.mean(axis=0)
+        c0 = np.concatenate([centroid, [zs[0]]])[None, :]
+        c1 = np.concatenate([centroid, [zs[-1]]])[None, :]
+        i0 = points.shape[0]
+        i1 = i0 + 1
+        points = np.concatenate([points, c0, c1], axis=0)
+        tris.append(np.stack(
+            [np.full(n, i0, np.int64), j, i], axis=1))          # z0 cap
+        base = (len(zs) - 1) * n
+        tris.append(np.stack(
+            [np.full(n, i1, np.int64), base + i, base + j], axis=1))
+    return Stereolitography(points.astype(np.float32),
+                            np.concatenate(tris, axis=0))
+
+
 def _is_ascii_stl(path: str) -> bool:
     with open(path, "rb") as fh:
         head = fh.read(5)

@@ -203,10 +203,20 @@ class ShardedBlockDomain:
                 block_origins=borig, block_widths=bwid,
             ))
 
-            # BC tables: own ghosts, fused families, local flat ids
-            gl, il, wl, el, nl, fl = [], [], [], [], [], []
+            # BC tables: own ghosts, fused families, local flat ids.
+            # Overlapping ghosts (families whose ghost bands intersect,
+            # e.g. hypercube corners or a wall band reaching the farfield
+            # band on small boxes): the LAST listed family wins, matching
+            # the sequential impose_bc semantics (and BlockedBC).
+            claimed = {}
             for i, (name, hb) in enumerate(dom._host_boundaries.items()):
-                sel = owner(hb.ghosts // npb) == p
+                for g in hb.ghosts:
+                    claimed[int(g)] = i
+            gl, il, wl, el, nl, fl, dl = [], [], [], [], [], [], []
+            for i, (name, hb) in enumerate(dom._host_boundaries.items()):
+                keep = np.array(
+                    [claimed[int(g)] == i for g in hb.ghosts], bool)
+                sel = (owner(hb.ghosts // npb) == p) & keep
                 if not sel.any():
                     continue
                 g = hb.ghosts[sel]
@@ -220,6 +230,7 @@ class ShardedBlockDomain:
                 el.append(hb.ghost_distances[sel] / hb.image_distances[sel])
                 nl.append(hb.normals[sel])
                 fl.append(np.full(int(sel.sum()), i, np.int32))
+                dl.append(hb.image_distances[sel])
             if gl:
                 K = max(a.shape[1] for a in il)
 
@@ -244,6 +255,7 @@ class ShardedBlockDomain:
                     eta=np.concatenate(el)[order].astype(np.float32),
                     normals=np.concatenate(nl)[order].astype(np.float32),
                     family=np.concatenate(fl)[order],
+                    imd=np.concatenate(dl)[order].astype(np.float32),
                 ))
             else:
                 bc_local.append(dict(
@@ -253,6 +265,7 @@ class ShardedBlockDomain:
                     eta=np.zeros(0, np.float32),
                     normals=np.zeros((0, nd), np.float32),
                     family=np.zeros(0, np.int32),
+                    imd=np.zeros(0, np.float32),
                 ))
             assert (bc_local[-1]["ghost"] < chunk * npb).all(), \
                 "own ghosts must live in own blocks"
@@ -283,6 +296,7 @@ class ShardedBlockDomain:
                 eta=_pad_rows(b["eta"], G_max),
                 normals=_pad_rows(b["normals"], G_max),
                 family=_pad_rows(b["family"], G_max),
+                imd=_pad_rows(b["imd"], G_max, fill=1.0),  # avoid /0 in BCs
             )
 
         bc_stacked = {
@@ -552,18 +566,25 @@ class ShardedBlockDomain:
 
     # -- execution ---------------------------------------------------------
 
-    def shard_fn(self, f):
+    def shard_fn(self, f, replicated=None):
         """Wrap ``f(ctx, *own_grids) -> own grids (or (grids, aux))`` into a
         jitted sharded function.
 
         ctx: ``bt`` (local BlockTables over [chunk + halo + dump] blocks),
         ``exchange(own_grid) -> local_grid`` (neighbor ppermute halos),
         ``own(local) -> own slice``, ``bc(local_grid, fns) -> local_grid``
-        (own-block ghost update), ``pmax/pmin/psum``.
+        (own-block ghost update), ``pmax/pmin/psum``, ``all_gather``.
+
+        ``replicated``: optional pytree of device arrays passed into the
+        kernel REPLICATED (PartitionSpec()) as ``ctx.rep`` — e.g. multigrid
+        transfer stencils and coarse-level tables for the sharded-fine /
+        replicated-coarse FAS composition.
         """
         sbd = self
+        if replicated is None:
+            replicated = {}
 
-        def kernel(t, *shards):
+        def kernel(t, rep, *shards):
             class Ctx:
                 pass
 
@@ -581,6 +602,8 @@ class ShardedBlockDomain:
                 return jnp.concatenate(segs, axis=0)
 
             def bc(local, fns, guard=None):
+                import inspect
+
                 C = local.shape[-1]
                 bcT = t["bc"]
                 flat = local.reshape(sbd.n_loc, C)
@@ -590,7 +613,13 @@ class ShardedBlockDomain:
                       * bcT["w"][0][..., None]).sum(axis=1)
                 r = None
                 for i, name in enumerate(fns):
-                    ri = fns[name](Pi, bcT["normals"][0])
+                    fn = fns[name]
+                    # wall-model BCs take a third arg: the per-ghost image
+                    # distances (wall_function y); plain BCs take two
+                    if len(inspect.signature(fn).parameters) >= 3:
+                        ri = fn(Pi, bcT["normals"][0], bcT["imd"][0])
+                    else:
+                        ri = fn(Pi, bcT["normals"][0])
                     sel = (bcT["family"][0] == i)[:, None]
                     r = ri if r is None else jnp.where(sel, ri, r)
                 eta = bcT["eta"][0][:, None]
@@ -610,6 +639,34 @@ class ShardedBlockDomain:
             ctx.pmin = lambda x: jax.lax.pmin(x, "p")
             ctx.pmax = lambda x: jax.lax.pmax(x, "p")
             ctx.psum = lambda x: jax.lax.psum(x, "p")
+            ctx.rep = rep
+
+            def all_gather_flat(own):
+                """Own grids [chunk, bs.., C] -> replicated global flat
+                [n_cells, C] (pad rows trimmed)."""
+                g = jax.lax.all_gather(own, "p", axis=0, tiled=True)
+                flat = g.reshape((sbd.P * sbd.chunk * sbd.npb,)
+                                 + g.shape[1 + sbd.nd:])
+                return jax.lax.slice_in_dim(
+                    flat, 0, sbd.B * sbd.npb, axis=0)
+
+            ctx.all_gather_flat = all_gather_flat
+
+            def own_flat(flat):
+                """Replicated global flat [n_cells, ...] -> own grids
+                [chunk, bs.., ...] of this device (pad rows zero)."""
+                pad = sbd.P * sbd.chunk * sbd.npb - sbd.B * sbd.npb
+                if pad:
+                    z = jnp.zeros((pad,) + flat.shape[1:], flat.dtype)
+                    flat = jnp.concatenate([flat, z], axis=0)
+                grids = flat.reshape(
+                    (sbd.P, sbd.chunk) + (sbd.bs,) * sbd.nd
+                    + flat.shape[1:])
+                pidx = jax.lax.axis_index("p")
+                return jax.lax.dynamic_index_in_dim(
+                    grids, pidx, axis=0, keepdims=False)
+
+            ctx.own_flat = own_flat
 
             if sbd.overlap:
                 # interior pass tables (own blocks + dump; no halo rows,
@@ -639,16 +696,18 @@ class ShardedBlockDomain:
             return tuple(r[None] for r in res)
 
         cache = {}
+        rep_spec = jax.tree_util.tree_map(
+            lambda _: PartitionSpec(), replicated)
 
         def call(*shards):
             n = len(shards)
             if n not in cache:
-                specs_in = (self._spec,) + tuple(
+                specs_in = (self._spec, rep_spec) + tuple(
                     PartitionSpec("p") for _ in range(n))
                 cache[n] = _shard_map_compat(
                     kernel, mesh=self.mesh,
                     in_specs=specs_in, out_specs=PartitionSpec("p"),
                 )
-            return cache[n](self.tables, *shards)
+            return cache[n](self.tables, replicated, *shards)
 
         return call

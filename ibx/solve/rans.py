@@ -37,6 +37,117 @@ class RansMarch:
     apply_bcs: Callable
 
 
+def rans_rhs_grid(bt, fluid, S3, *, cfl: float, high_order: bool = True):
+    """RANS (NS + Wray-Agarwal) right-hand side on the block-grid state.
+
+    ``S3`` is the fused [B, bs.., nch+1] state ([p T u.. Rt]); works with
+    ANY BlockTables (single-device, sharded-local, or coarse multigrid
+    level — the sharded and FAS paths reuse it). Returns
+    ``(R_flow [.., nch], T3 [..] dRt/dt, dt3 [..])``.
+    """
+    from ..ops.block_ops import (
+        cell_gradient_grid,
+        euler_rhs_grid,
+        face_accumulate,
+        minmod as minmod_g,
+    )
+
+    nd = bt.nd
+    nch = 2 + nd
+    P3 = S3[..., :nch]
+    Rt3 = S3[..., nch:nch + 1]
+    Rt_pos = jnp.maximum(Rt3, 0.0)
+    rho3 = P3[..., 0:1] / (fluid.R * jnp.maximum(P3[..., 1:2], 10.0))
+    mu_t3 = rho3 * Rt_pos
+    R_flow, dta, (du_grids, nu3) = euler_rhs_grid(
+        bt, fluid, P3, with_dt=True, cfl=cfl,
+        high_order=high_order, viscous=True, mu_t3=mu_t3)
+    vg = [[du_grids[j][..., 2 + i] for j in range(nd)]
+          for i in range(nd)]
+    S = shear_rate(vg)
+    dRt = [cell_gradient_grid(bt, Rt3, d) for d in range(nd)]
+    gS = [cell_gradient_grid(bt, S[..., None], d) for d in range(nd)]
+    wa = wray_agarwal(
+        Rt_pos[..., 0], S,
+        jnp.concatenate(dRt, axis=-1), jnp.concatenate(gS, axis=-1))
+    nu_lam3 = dynamic_viscosity(fluid, P3[..., 1]) / rho3[..., 0]
+    nu_eff3 = nu_lam3 + wa["nu_R"]
+
+    T3 = wa["S"]
+    for d in range(nd):
+        W = jnp.concatenate([
+            Rt3, dRt[d], nu3, P3[..., 2 + d:3 + d],
+            nu_eff3[..., None],
+        ], axis=-1)
+
+        def face_T(Wo, Wn, ho, hn):
+            Rto, Rtn = Wo[..., 0:1], Wn[..., 0:1]
+            go, gn = Wo[..., 1:2], Wn[..., 1:2]
+            Do, Dn = Wo[..., 2:3], Wn[..., 2:3]
+            uo, un_ = Wo[..., 3:4], Wn[..., 3:4]
+            no, nn = Wo[..., 4:5], Wn[..., 4:5]
+            down, dneigh = ho / 2, hn / 2
+            grad_f = (Rtn - Rto) / (down + dneigh)
+            slope_o = (2 * go - grad_f) * down
+            slope_n = (2 * gn - grad_f) * dneigh
+            lim = minmod_g(slope_n, slope_o)
+            RtL = Rto + lim
+            RtR = Rtn - lim
+            D = jnp.maximum(jnp.maximum(Do, Dn), 1e-7)
+            uf_c = (Rto * dneigh + Rtn * down) / (down + dneigh)
+            if high_order:
+                uf_c = uf_c + (go * down - gn * dneigh) / 8
+            RtL = RtL * D + (1.0 - D) * uf_c
+            RtR = RtR * D + (1.0 - D) * uf_c
+            uf = (uo * dneigh + un_ * down) / (down + dneigh)
+            F_adv = jnp.where(uf >= 0.0, RtL, RtR) * uf
+            nu_f = (no * dneigh + nn * down) / (down + dneigh)
+            return F_adv - nu_f * grad_f
+
+        T3 = T3 - face_accumulate(bt, d, W, face_T, 1, [1.0])[..., 0]
+
+    # local dt: acoustic bound from the fused pass + viscous bound
+    bound = cfl / dta
+    nu_dt = nu_lam3 + Rt_pos[..., 0]
+    for d in range(nd):
+        hcol = bt.h[:, d].reshape((bt.n_blocks,) + (1,) * nd)
+        bound = bound + 4.0 * nu_dt / (hcol * hcol)
+    return R_flow, T3, cfl / bound
+
+
+def rans_rk2_grid(bt, fluid, S3, apply_bcs3, *, cfl: float,
+                  high_order: bool = True, active3=None,
+                  rhs_fn=None):
+    """One grid-native RANS TVD-RK2 pseudo step on the fused state.
+
+    ``rhs_fn(S3) -> (R_flow, T3, dt3)`` defaults to `rans_rhs_grid` on
+    ``bt``; the sharded path passes its halo-exchanging wrapper."""
+    nch = 2 + bt.nd
+    if rhs_fn is None:
+        def rhs_fn(S):
+            return rans_rhs_grid(bt, fluid, S, cfl=cfl,
+                                 high_order=high_order)
+    P3 = S3[..., :nch]
+    Rt3 = S3[..., nch:nch + 1]
+    R0, T0, dt = rhs_fn(S3)
+    if active3 is not None:
+        dt = dt * active3
+    Q0 = primitive2state(fluid, P3)
+    P1 = physicality_guard(
+        state2primitive(fluid, Q0 + dt[..., None] * R0))
+    Rt1 = Rt3 + dt[..., None] * T0[..., None]
+    S1 = apply_bcs3(jnp.concatenate([P1, Rt1], axis=-1))
+    R1, T1, _ = rhs_fn(S1)
+    P2 = physicality_guard(state2primitive(
+        fluid, Q0 + dt[..., None] * (R0 + R1) / 2))
+    Rt2 = Rt3 + dt[..., None] * (T0 + T1)[..., None] / 2
+    S2 = apply_bcs3(jnp.concatenate(
+        [P2, jnp.maximum(Rt2, 0.0)], axis=-1))
+    resnorm = jnp.abs(R0[..., 0] * (active3 if active3 is not None
+                                    else 1.0)).max()
+    return S2, resnorm
+
+
 def build_rans_march(
     dom,
     fluid,
@@ -121,14 +232,7 @@ def build_rans_march(
     if use_blocks:
         # ---- grid-native fast path: full RANS RHS on the dense block
         # operators, BCs through BlockedBC on the fused [P, Rt] state.
-        from ..ops.block_ops import (
-            cell_gradient_grid,
-            euler_rhs_grid,
-            face_accumulate,
-            minmod as minmod_g,
-            to_blocks,
-            to_flat,
-        )
+        from ..ops.block_ops import to_blocks, to_flat
         from ..topology.blocked_bc import build_blocked_bc
         from ..topology.blocks import build_block_tables
 
@@ -145,85 +249,9 @@ def build_rans_march(
         def apply_bcs3(S3):
             return bbc(S3, blocked_bcs, guard=guard_b)
 
-        def rans_rhs3(S3):
-            P3 = S3[..., :nch]
-            Rt3 = S3[..., nch:nch + 1]
-            Rt_pos = jnp.maximum(Rt3, 0.0)
-            rho3 = P3[..., 0:1] / (fluid.R * jnp.maximum(P3[..., 1:2], 10.0))
-            mu_t3 = rho3 * Rt_pos
-            R_flow, dta, (du_grids, nu3) = euler_rhs_grid(
-                bt, fluid, P3, with_dt=True, cfl=cfl,
-                high_order=high_order, viscous=True, mu_t3=mu_t3)
-            vg = [[du_grids[j][..., 2 + i] for j in range(nd)]
-                  for i in range(nd)]
-            S = shear_rate(vg)
-            dRt = [cell_gradient_grid(bt, Rt3, d) for d in range(nd)]
-            gS = [cell_gradient_grid(bt, S[..., None], d) for d in range(nd)]
-            wa = wray_agarwal(
-                Rt_pos[..., 0], S,
-                jnp.concatenate(dRt, axis=-1), jnp.concatenate(gS, axis=-1))
-            nu_lam3 = dynamic_viscosity(fluid, P3[..., 1]) / rho3[..., 0]
-            nu_eff3 = nu_lam3 + wa["nu_R"]
-
-            T3 = wa["S"]
-            for d in range(nd):
-                W = jnp.concatenate([
-                    Rt3, dRt[d], nu3, P3[..., 2 + d:3 + d],
-                    nu_eff3[..., None],
-                ], axis=-1)
-
-                def face_T(Wo, Wn, ho, hn):
-                    Rto, Rtn = Wo[..., 0:1], Wn[..., 0:1]
-                    go, gn = Wo[..., 1:2], Wn[..., 1:2]
-                    Do, Dn = Wo[..., 2:3], Wn[..., 2:3]
-                    uo, un_ = Wo[..., 3:4], Wn[..., 3:4]
-                    no, nn = Wo[..., 4:5], Wn[..., 4:5]
-                    down, dneigh = ho / 2, hn / 2
-                    grad_f = (Rtn - Rto) / (down + dneigh)
-                    slope_o = (2 * go - grad_f) * down
-                    slope_n = (2 * gn - grad_f) * dneigh
-                    lim = minmod_g(slope_n, slope_o)
-                    RtL = Rto + lim
-                    RtR = Rtn - lim
-                    D = jnp.maximum(jnp.maximum(Do, Dn), 1e-7)
-                    uf_c = (Rto * dneigh + Rtn * down) / (down + dneigh)
-                    if high_order:
-                        uf_c = uf_c + (go * down - gn * dneigh) / 8
-                    RtL = RtL * D + (1.0 - D) * uf_c
-                    RtR = RtR * D + (1.0 - D) * uf_c
-                    uf = (uo * dneigh + un_ * down) / (down + dneigh)
-                    F_adv = jnp.where(uf >= 0.0, RtL, RtR) * uf
-                    nu_f = (no * dneigh + nn * down) / (down + dneigh)
-                    return F_adv - nu_f * grad_f
-
-                T3 = T3 - face_accumulate(bt, d, W, face_T, 1, [1.0])[..., 0]
-
-            # local dt: acoustic bound from the fused pass + viscous bound
-            bound = cfl / dta
-            nu_dt = nu_lam3 + Rt_pos[..., 0]
-            for d in range(nd):
-                hcol = bt.h[:, d].reshape((bt.n_blocks,) + (1,) * nd)
-                bound = bound + 4.0 * nu_dt / (hcol * hcol)
-            return R_flow, T3, cfl / bound
-
         def one_step3(S3):
-            P3 = S3[..., :nch]
-            Rt3 = S3[..., nch:nch + 1]
-            R0, T0, dt = rans_rhs3(S3)
-            dt = dt * active3
-            Q0 = primitive2state(fluid, P3)
-            P1 = physicality_guard(
-                state2primitive(fluid, Q0 + dt[..., None] * R0))
-            Rt1 = Rt3 + dt[..., None] * T0[..., None]
-            S1 = apply_bcs3(jnp.concatenate([P1, Rt1], axis=-1))
-            R1, T1, _ = rans_rhs3(S1)
-            P2 = physicality_guard(state2primitive(
-                fluid, Q0 + dt[..., None] * (R0 + R1) / 2))
-            Rt2 = Rt3 + dt[..., None] * (T0 + T1)[..., None] / 2
-            S2 = apply_bcs3(jnp.concatenate(
-                [P2, jnp.maximum(Rt2, 0.0)], axis=-1))
-            resnorm = jnp.abs(R0[..., 0] * active3).max()
-            return S2, resnorm
+            return rans_rk2_grid(bt, fluid, S3, apply_bcs3, cfl=cfl,
+                                 high_order=high_order, active3=active3)
 
         def one_step_b(P, Rt):      # flat-state wrapper over the grid step
             S3 = to_blocks(bt, jnp.concatenate([P, Rt[:, None]], axis=1))

@@ -306,6 +306,7 @@ class Domain(DomainExecutionMixin):
         partition_skirt_depth: int = 2,
         ghost_layer_ratio: float = 1.5,
         hypercube_families: Sequence[Tuple[str, Sequence[Tuple[int, bool]]]] = (),
+        fluid_ghost_ratio: Optional[float] = None,
         verbose: bool = False,
     ):
         self.mesh = msh
@@ -328,6 +329,7 @@ class Domain(DomainExecutionMixin):
             partition_skirt_depth=partition_skirt_depth,
             ghost_layer_ratio=ghost_layer_ratio,
             hypercube_families=list(hypercube_families),
+            fluid_ghost_ratio=fluid_ghost_ratio,
         )
 
         self._stage("cells", f"{N} cells")
@@ -376,6 +378,25 @@ class Domain(DomainExecutionMixin):
                 inside = np.zeros(N, bool)
                 inside[ghosts] = points_inside(
                     dfield.stl, centers[ghosts])
+            if fluid_ghost_ratio is not None and inside is not None:
+                # flagged deviation from the reference's unsigned ghost
+                # band (src/ImmersedBoundary.jl:194-230, which overwrites
+                # the first ~2 ROWS OF FLUID CELLS with eta-blended image
+                # values every application — a self-referential update
+                # whose inner image points land on other ghost rows; at
+                # fine resolution it manufactures a vortical slip layer
+                # that sheds counter-circulation and collapses the lift,
+                # measured in BASELINE.md round 3). With the flag, fluid-
+                # side cells further than fluid_ghost_ratio * circumdiam
+                # from the wall are SOLVED, and the wall enters through
+                # the in-solid ghost rows (classic sharp-interface IB).
+                gd = np.sqrt(((centers[ghosts] - projs).astype(np.float64)
+                              ** 2).sum(1))
+                keep = inside[ghosts] | (
+                    gd <= fluid_ghost_ratio * diams[ghosts])
+                ghosts, projs = ghosts[keep], projs[keep]
+                self._stage(f"ghost-band[{bname}]",
+                            f"{ghosts.size} kept (solid+{fluid_ghost_ratio}d)")
             self._host_boundaries[bname] = _build_host_boundary(
                 centers, widths, tree, ghosts, projs, ghost_layer_ratio,
                 exclude_cells=inside,

@@ -30,12 +30,53 @@ from ibx.ops import operators as ops  # noqa: E402
 def main():
     state_file = sys.argv[1]
     cfg = dict(wall_h=5e-4, feature_h=2.5e-4, block_size=16, cfl=0.6)
+    for a in sys.argv[2:]:
+        k, v = a.split("=")
+        cfg[k] = int(v) if k == "block_size" else float(v)
+    cfg.setdefault("feature_h", cfg["wall_h"] / 2)
     case = build_rae2822(**cfg)
     dom = case.dom
     P = np.load(state_file)["P"]
     assert P.shape[0] == dom.ncells, (P.shape, dom.ncells)
     cl, cd = force_coefficients(case, P)
     print(f"state={state_file} Cl={cl:.4f} Cd={cd:.5f}")
+
+    # ---- Cp vs the committed medium oracle (shape diagnosis) ----
+    import os
+    ref_path = os.path.join("tests", "data", "rae2822_cp_medium.npz")
+    if os.path.exists(ref_path):
+        ref = np.load(ref_path)
+        surf0 = case.dom.surfaces["wall"]
+        cp = wall_cp(case, P)
+        for side, sel, rsel in (
+            ("upper", surf0.points[:, 1] > 0, ref["y"] > 0),
+            ("lower", surf0.points[:, 1] <= 0, ref["y"] <= 0),
+        ):
+            x_c = surf0.points[sel, 0]
+            o = np.argsort(x_c)
+            x_c, cp_c = x_c[o], cp[sel][o]
+            x_r = ref["x"][rsel]
+            orr = np.argsort(x_r)
+            x_r, cp_r = x_r[orr], ref["cp"][rsel][orr]
+            cp_ri = np.interp(x_c, x_r, cp_r)
+            d = cp_c - cp_ri
+            # shock = steepest adverse dCp/dx on the upper side
+            def shock_x(x, v):
+                m = (x > 0.3) & (x < 0.9)
+                if m.sum() < 4:
+                    return float("nan")
+                g = np.gradient(v[m], x[m])
+                return float(x[m][np.argmax(g)])
+            print(f"  Cp[{side}]: mean d={d.mean():+.4f} max|d|="
+                  f"{np.abs(d).max():.3f} "
+                  f"shock_x case={shock_x(x_c, cp_c):.3f} "
+                  f"ref={shock_x(x_r, cp_r):.3f}")
+            for lo, hi in [(0, .1), (.1, .3), (.3, .55), (.55, .75),
+                           (.75, .95), (.95, 1.01)]:
+                m = (x_c >= lo) & (x_c < hi)
+                if m.any():
+                    print(f"    x[{lo},{hi}): cp_case={cp_c[m].mean():+.3f} "
+                          f"cp_ref={cp_ri[m].mean():+.3f}")
 
     c = np.asarray(dom.centers)
     tree = cKDTree(c)

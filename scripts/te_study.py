@@ -72,6 +72,8 @@ def main():
               f"maxM~{np.abs(Pn[fluid_mask, 2:]).max():.0f} "
               f"t={time.time()-t0:.0f}s", flush=True)
     print(f"[{tag}] survived {steps} steps", flush=True)
+    np.savez(f"/tmp/te_state_{tag}.npz", P=np.asarray(P))
+    print(f"[{tag}] state saved to /tmp/te_state_{tag}.npz", flush=True)
 
 
 if __name__ == "__main__":

@@ -191,3 +191,27 @@ def test_surface_sampling(adv_domain):
     x = jnp.asarray(dom.centers[:, 0])
     xs = np.asarray(surf(x))
     np.testing.assert_allclose(xs, surf.points[:, 0], atol=0.05)
+
+
+def test_fluid_ghost_ratio_flag():
+    """fluid_ghost_ratio=0 keeps only in-solid wall ghosts (flagged
+    deviation from the reference's unsigned straddling band); the farfield
+    hypercube band is untouched and a short march stays finite."""
+    import jax.numpy as jnp
+    from ibx.cases import build_rae2822
+    from ibx.geometry.inside import points_inside
+
+    kw = dict(wall_h=4e-2, feature_h=2e-2, block_size=8)
+    base = build_rae2822(**kw)
+    solid = build_rae2822(fluid_ghost_ratio=0.0, **kw)
+    hb_b = base.dom._host_boundaries["wall"]
+    hb_s = solid.dom._host_boundaries["wall"]
+    stl = base.dom.mesh.distance_fields["wall"].stl
+    assert hb_s.ghosts.size < hb_b.ghosts.size
+    assert points_inside(stl, solid.dom.centers[hb_s.ghosts]).all()
+    # farfield family unchanged
+    assert (solid.dom._host_boundaries["farfield"].ghosts
+            == base.dom._host_boundaries["farfield"].ghosts).all()
+    import numpy as np
+    P = solid.march(solid.P0, 200)
+    assert np.isfinite(np.asarray(P)).all()
