@@ -63,6 +63,7 @@ def build_rae2822(
     wall_fix_cells: float = 0.0,
     mirror_wall: bool = False,
     fluid_ghost_ratio: float = None,
+    reflect_solid_images: bool = False,
 ) -> Rae2822Case:
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
@@ -80,6 +81,7 @@ def build_rae2822(
             ("farfield", [(0, False), (0, True), (1, False), (1, True)]),
         ],
         fluid_ghost_ratio=fluid_ghost_ratio,
+        reflect_solid_images=reflect_solid_images,
     )
 
     # freeze cells strictly inside the airfoil (their free evolution — the

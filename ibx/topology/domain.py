@@ -171,6 +171,7 @@ def _build_host_boundary(
     projs: np.ndarray,
     ghost_ratio: float,
     exclude_cells: Optional[np.ndarray] = None,
+    reflect_solid: bool = False,
 ) -> HostBoundary:
     """Ghost geometry + image-point stencils
     (reference ``src/ImmersedBoundary.jl:422-448``).
@@ -204,6 +205,16 @@ def _build_host_boundary(
     normals = normals / (gd[:, None] + _EPS32)
     diam = np.sqrt((widths[ghosts].astype(np.float64) ** 2).sum(1)).astype(np.float32)
     image_d = diam * ghost_ratio + _EPS32
+    if reflect_solid and exclude_cells is not None:
+        # flagged deviation (classic sharp-interface ghost-cell geometry):
+        # the reference's normals = ghost - proj point INTO the solid for
+        # in-solid ghosts, so their image points land DEEPER IN THE SOLID
+        # (src/ImmersedBoundary.jl:422-448 — interpolating unsolved data).
+        # Reflecting flips those normals outward so every image point sits
+        # on the FLUID side; combined with mirror_velocity this is the
+        # textbook reflected-ghost slip wall.
+        ins_g = exclude_cells[ghosts]
+        normals = np.where(ins_g[:, None], -normals, normals)
     images = projs + normals * image_d[:, None]
     if exclude_cells is not None and exclude_cells.any():
         src = np.nonzero(~exclude_cells)[0]
@@ -307,6 +318,7 @@ class Domain(DomainExecutionMixin):
         ghost_layer_ratio: float = 1.5,
         hypercube_families: Sequence[Tuple[str, Sequence[Tuple[int, bool]]]] = (),
         fluid_ghost_ratio: Optional[float] = None,
+        reflect_solid_images: bool = False,
         verbose: bool = False,
     ):
         self.mesh = msh
@@ -330,6 +342,7 @@ class Domain(DomainExecutionMixin):
             ghost_layer_ratio=ghost_layer_ratio,
             hypercube_families=list(hypercube_families),
             fluid_ghost_ratio=fluid_ghost_ratio,
+            reflect_solid_images=reflect_solid_images,
         )
 
         self._stage("cells", f"{N} cells")
@@ -399,7 +412,7 @@ class Domain(DomainExecutionMixin):
                             f"{ghosts.size} kept (solid+{fluid_ghost_ratio}d)")
             self._host_boundaries[bname] = _build_host_boundary(
                 centers, widths, tree, ghosts, projs, ghost_layer_ratio,
-                exclude_cells=inside,
+                exclude_cells=inside, reflect_solid=reflect_solid_images,
             )
             # postprocessing surface (reference src/ImmersedBoundary.jl:743-763)
             stl = dfield.stl

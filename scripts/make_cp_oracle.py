@@ -115,8 +115,7 @@ def main():
         surf = case.dom.surfaces["wall"]
         cl, cd = force_coefficients(case, Pn)
         out = os.path.join(OUT, f"rae2822_cp_{tag}.npz")
-        np.savez_compressed(
-            out,
+        save = dict(
             x=surf.points[:, 0], y=surf.points[:, 1], cp=cp,
             cl=cl, cd=cd,
             cl_hist=np.asarray(cl_hist, np.float32),
@@ -125,6 +124,11 @@ def main():
                                  cells=case.dom.ncells,
                                  phase_stride=PHASE_STRIDE)),
         )
+        # converged STATE for drift-regression tests (march from here and
+        # assert mean |dCp| stays ~1e-2): commit-sized below ~1M cells
+        if case.dom.ncells <= 1_000_000:
+            save["P"] = Pn
+        np.savez_compressed(out, **save)
         print(f"[{tag}] wrote {out}  Cl={cl:.4f} Cd={cd:.5f} "
               f"march={time.time()-t0:.0f}s", flush=True)
 
