@@ -177,9 +177,6 @@ def build_rae2822(
         bt = build_block_tables(dom)
         bbc = build_blocked_bc(dom, ["farfield", "wall"])
 
-        _pl = os.environ.get("IBX_BC_PALLAS")
-        _use_pallas = None if _pl is None else _pl not in ("0", "false")
-
         from ..physics.fluid import physicality_guard
 
         _bbc_scale = None
@@ -188,8 +185,7 @@ def build_rae2822(
                 np.asarray(bbc.ghosts), np.asarray(bbc.normals)))
 
         def apply_bcs3(P3):
-            return bbc(P3, bc_fns, use_pallas=_use_pallas,
-                       guard=physicality_guard, mirror=_mirror,
+            return bbc(P3, bc_fns, guard=physicality_guard, mirror=_mirror,
                        mirror_scale=_bbc_scale)
 
         active3 = to_blocks(bt, active[:, None])[..., 0]

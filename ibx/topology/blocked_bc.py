@@ -71,10 +71,6 @@ class BlockedBC:
     ovf_src: jnp.ndarray       # int32[O] g rows of overflow ghosts
     ovf_dst: jnp.ndarray       # int32[O] (gb * npb + slot) of those ghosts
     ghost_mask: jnp.ndarray    # f32[GB, bs.., 1] 1 on ghost slots
-    # [GB, R] run tables for the Pallas write-back kernel
-    run_gstart: jnp.ndarray    # int32[GB, R] window start into npb-padded g
-    run_s0: jnp.ndarray        # int32[GB, R] first slot of the run
-    run_len: jnp.ndarray       # int32[GB, R] run length (0 on padding)
     names: Tuple[str, ...]
     bs: int
     nd: int
@@ -162,16 +158,15 @@ class BlockedBC:
         return placed.reshape((GB,) + (self.bs,) * self.nd + (C,))
 
     def __call__(self, P3, fns: Dict[str, Callable], *,
-                 use_pallas: bool = None, guard: Callable = None,
+                 guard: Callable = None,
                  mirror: Sequence[str] = (), mirror_scale=None):
         """Apply all families' BCs; returns the updated grid state.
 
-        ``use_pallas=True`` routes the write-back through the Pallas
-        kernel (`ibx.ops.pallas_bc`). The default is the XLA phase-view
-        placement + block-row scatter path: the kernel is exact and
-        in-place, but its [*, C]-lane-padded VMEM windows currently make it
-        slower in marches (see STATUS.md) — kept as a tested integration
-        point for the lane-packed rewrite.
+        Write-back goes through the XLA phase-view placement + block-row
+        scatter path. (A Pallas in-place kernel variant existed through
+        round 3 — exact on TPU but slower than this path because its
+        [*, C] VMEM windows pad to 128 lanes; removed rather than kept as
+        shelfware. The Pallas effort belongs to the RHS mega-kernel.)
         """
         Pi = self.interpolate(P3)
         r = None
@@ -210,25 +205,7 @@ class BlockedBC:
             # NaN on fine meshes (~11k steps at wall_h=5e-4)
             g = guard(g)
 
-        if use_pallas is None:
-            use_pallas = False
-        if use_pallas and self.gblocks.shape[0]:
-            return self._write_pallas(P3, g)
         return self._write_xla(P3, g)
-
-    def _write_pallas(self, P3, g, *, interpret: bool = False):
-        from ..ops.pallas_bc import bc_write
-
-        npb = self.bs ** self.nd
-        C = g.shape[-1]
-        g_pad = jnp.concatenate([
-            jnp.zeros((npb, C), g.dtype), g, jnp.zeros((npb, C), g.dtype)])
-        GB = self.gblocks.shape[0]
-        return bc_write(
-            P3, g_pad, self.gblocks, self.run_gstart, self.run_s0,
-            self.run_len, self.ghost_mask.reshape(GB, npb, 1),
-            interpret=interpret,
-        )
 
     def _write_xla(self, P3, g):
         placed = self.place(g)
@@ -435,24 +412,6 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         gb_of_ghost = np.array([g2gb[int(b)] for b in blk_c])
         gmask[gb_of_ghost, within_c] = 1.0
         gmask = gmask.reshape((GB,) + (bs,) * nd + (1,))
-
-        # [GB, R] run tables for the Pallas write-back kernel (window start
-        # into the npb-front-padded value array)
-        counts = np.zeros(GB, np.int64)
-        for b in run_blk:
-            counts[g2gb[int(b)]] += 1
-        Rr = max(1, int(counts.max()))
-        run_gstart = np.zeros((GB, Rr), np.int32)
-        run_s0v = np.zeros((GB, Rr), np.int32)
-        run_lenv = np.zeros((GB, Rr), np.int32)
-        fill = np.zeros(GB, np.int64)
-        for rblk, rs0, rlen, rgoff in zip(run_blk, run_s0, lens, starts):
-            i = g2gb[int(rblk)]
-            j = fill[i]
-            fill[i] += 1
-            run_gstart[i, j] = npb + int(rgoff) - int(rs0)
-            run_s0v[i, j] = int(rs0)
-            run_lenv[i, j] = int(rlen)
     else:
         gblocks = np.zeros((0,), np.int64)
         tile_row = np.zeros((0, n_tiles, 1), np.int32)
@@ -461,9 +420,6 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         ovf_src = np.zeros(0, np.int32)
         ovf_dst = np.zeros(0, np.int32)
         gmask = np.zeros((0,) + (bs,) * nd + (1,), np.float32)
-        run_gstart = np.zeros((0, 1), np.int32)
-        run_s0v = np.zeros((0, 1), np.int32)
-        run_lenv = np.zeros((0, 1), np.int32)
 
     bc = BlockedBC(
         patch_start=patch_start,
@@ -482,9 +438,6 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         ovf_src=ovf_src,
         ovf_dst=ovf_dst,
         ghost_mask=gmask,
-        run_gstart=run_gstart,
-        run_s0=run_s0v,
-        run_len=run_lenv,
         names=tuple(names),
         bs=bs,
         nd=nd,

@@ -46,24 +46,3 @@ def test_blocked_bc_matches_fused():
     keep = np.ones(P.shape[0], bool)
     keep[ghosts] = False
     assert np.array_equal(out[keep], np.asarray(P)[keep])
-
-
-def test_pallas_write_matches_xla():
-    """The Pallas ghost write-back kernel (interpret mode) must match the
-    XLA phase-view placement path exactly."""
-    import jax.numpy as jnp
-
-    case = build_rae2822(wall_h=8e-2, feature_h=4e-2, cfl=0.7)
-    dom = case.dom
-    bt = build_block_tables(dom)
-    bbc = build_blocked_bc(dom, ["farfield", "wall"])
-
-    rng = np.random.default_rng(1)
-    G = int(bbc.eta.shape[0])
-    g = jnp.asarray(rng.standard_normal((G, 4)).astype(np.float32))
-    P3 = to_blocks(bt, jnp.asarray(
-        rng.standard_normal((dom.ncells, 4)).astype(np.float32)))
-
-    ref = np.asarray(bbc._write_xla(P3, g))
-    out = np.asarray(bbc._write_pallas(P3, g, interpret=True))
-    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
