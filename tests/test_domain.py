@@ -215,3 +215,28 @@ def test_fluid_ghost_ratio_flag():
     import numpy as np
     P = solid.march(solid.P0, 200)
     assert np.isfinite(np.asarray(P)).all()
+
+
+def test_block_face_detection_matches_generic():
+    """octree2faces_blocks (structural, per-size-octave adjacency) must
+    produce EXACTLY the generic KDTree sweep's face set."""
+    from ibx.cases.rae2822 import RAE_DAT
+    from ibx.geometry import (DistanceField, build_mesh, feature_regions,
+                              load_surface, merge_points)
+    from ibx.geometry.octree import get_cells
+    from ibx.topology.faces import octree2faces, octree2faces_blocks
+
+    stl = merge_points(load_surface(RAE_DAT))
+    features = DistanceField(feature_regions(stl, radius=0.05))
+    msh = build_mesh([-25.0, -25.0], [50.0, 50.0], ("wall", stl, 4e-2),
+                     refinement_regions=[(features, 2e-2)])
+    centers, widths, _ = get_cells(msh)
+    origins = centers - widths / 2
+    d1, o1, n1 = octree2faces(origins, widths)
+    d2, o2, n2 = octree2faces_blocks(msh, origins, widths)
+
+    def key(d, o, n):
+        lo, hi = np.minimum(o, n), np.maximum(o, n)
+        return set(zip(d.tolist(), lo.tolist(), hi.tolist()))
+
+    assert key(d1, o1, n1) == key(d2, o2, n2)
