@@ -64,6 +64,7 @@ def build_rae2822(
     mirror_wall: bool = False,
     fluid_ghost_ratio: float = None,
     reflect_solid_images: bool = False,
+    ghost_layer_ratio: float = 1.5,
 ) -> Rae2822Case:
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
@@ -82,6 +83,7 @@ def build_rae2822(
         ],
         fluid_ghost_ratio=fluid_ghost_ratio,
         reflect_solid_images=reflect_solid_images,
+        ghost_layer_ratio=ghost_layer_ratio,
     )
 
     # freeze cells strictly inside the airfoil (their free evolution — the
