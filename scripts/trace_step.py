@@ -15,7 +15,15 @@ TRACE_DIR = "/tmp/ibx_trace"
 
 
 def main():
-    case = build_rae2822(wall_h=5e-4, feature_h=2.5e-4, cfl=0.7, block_size=16)
+    which = os.environ.get("IBX_TRACE_CASE", "rae2822")
+    if which == "sphere3d":
+        from ibx.cases import build_sphere3d
+
+        wall_h = float(os.environ.get("IBX_TRACE_WALL_H", "0.012"))
+        case = build_sphere3d(wall_h=wall_h, cfl=0.5, block_size=16)
+    else:
+        case = build_rae2822(wall_h=5e-4, feature_h=2.5e-4, cfl=0.7,
+                             block_size=16)
     P = case.P0
     P, _ = case.step(P)  # compile
     jax.block_until_ready(P)
