@@ -34,11 +34,14 @@ CFG = dict(wall_h=1.25e-3, length=1.25, height=0.5, reynolds=5e6,
 
 
 def main():
+    global OUT
     steps = 30000
     for a in sys.argv[1:]:
         k, v = a.split("=")
         if k == "steps":
             steps = int(v)
+        elif k == "out":
+            OUT = v
         else:
             CFG[k] = float(v)
     t0 = time.time()
