@@ -55,17 +55,30 @@ def points_inside_2d(stl: Stereolitography, pts: np.ndarray,
 
 def points_inside_3d(stl: Stereolitography, pts: np.ndarray,
                      chunk: int = 0) -> np.ndarray:
-    """Ray-parity test for closed triangulated surfaces (+x ray).
+    """Ray-parity test for closed triangulated surfaces (near-+x ray).
 
     pts: [N, 3]. Returns bool[N], True inside (parity of triangle
-    crossings along the +x direction).
+    crossings along the ray direction).
+
+    The ray is tilted by irrational components so rays from points on
+    axis-aligned feature planes (e.g. the ring stations of a lofted wing)
+    never travel inside a triangle plane or exactly through shared edges --
+    the classic ray-parity degeneracy (a shared edge hit counts in both
+    adjacent triangles and cancels).
+
+    Implementation: rotate everything into the ray frame once; the
+    crossing test per (point, triangle) is then three 2D edge functions
+    on the perpendicular coordinates plus one plane solve (~15 flops,
+    [n, M] temporaries only). The earlier Moeller-Trumbore formulation
+    built [n, M, 3] cross products per chunk and cost ~10 min of a 3D
+    sphere build at 2.8M cells; this form does the same classification
+    in seconds.
     """
     pts = np.asarray(pts, dtype=np.float64)
     tri = stl.points[stl.simplices].astype(np.float64)  # [M, 3, 3]
-    if chunk <= 0:
-        # [chunk, M, 3] temporaries must stay cache-resident (see 2D note)
-        chunk = max(64, (1 << 21) // max(1, tri.shape[0]))
     inside = np.zeros(pts.shape[0], dtype=bool)
+    if tri.shape[0] == 0:
+        return inside
     bb_lo = tri.reshape(-1, 3).min(axis=0)
     bb_hi = tri.reshape(-1, 3).max(axis=0)
     cand = np.nonzero(
@@ -74,31 +87,51 @@ def points_inside_3d(stl: Stereolitography, pts: np.ndarray,
     if cand.size == 0:
         return inside
 
-    # Moeller-Trumbore along a (near-)+x ray, batched over points x
-    # triangles. The direction is tilted by irrational components so rays
-    # from points on axis-aligned feature planes (e.g. the ring stations of
-    # a lofted wing) never travel inside a triangle plane or exactly
-    # through shared edges — the classic ray-parity degeneracy (a shared
-    # edge hit counts in both triangles and cancels).
-    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
-    e1 = v1 - v0
-    e2 = v2 - v0
     d = np.array([1.0, 1e-4 * np.sqrt(2.0), 1e-4 * np.sqrt(3.0)])
     d = d / np.linalg.norm(d)
-    pvec = np.cross(d, e2)                      # [M, 3]
-    det = (e1 * pvec).sum(axis=1)               # [M]
-    ok = np.abs(det) > 1e-14
-    inv_det = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+    b1 = np.array([-d[1], d[0], 0.0])
+    b1 /= np.linalg.norm(b1)
+    b2 = np.cross(d, b1)
+    R = np.stack([d, b1, b2])                       # ray frame rows
 
+    V = tri @ R.T                                   # [M, 3, 3] rotated
+    P = pts[cand] @ R.T                             # [n, 3]
+    v0, v1, v2 = V[:, 0], V[:, 1], V[:, 2]
+    # 2D edge functions in the perpendicular (y', z') plane:
+    # s_e(q) = (b - a) x (q - a) = dy (qz - az) - dz (qy - ay)
+    eyz = []
+    for a, b in ((v0, v1), (v1, v2), (v2, v0)):
+        dy = b[:, 1] - a[:, 1]
+        dz = b[:, 2] - a[:, 2]
+        eyz.append((dy, dz, dz * a[:, 1] - dy * a[:, 2]))
+    # plane crossing: x' = x0 - gy qy - gz qz with n = (v1-v0) x (v2-v0)
+    n = np.cross(v1 - v0, v2 - v0)                  # O(M), once
+    nx = n[:, 0]
+    ok = np.abs(nx) > 1e-300
+    inv_nx = np.where(ok, 1.0 / np.where(ok, nx, 1.0), 0.0)
+    gy = n[:, 1] * inv_nx
+    gz = n[:, 2] * inv_nx
+    x0 = v0[:, 0] + gy * v0[:, 1] + gz * v0[:, 2]
+
+    M = tri.shape[0]
+    if chunk <= 0:
+        # [chunk, M] f64 temporaries, kept cache-friendly
+        chunk = max(64, (1 << 22) // max(1, M))
     for s in range(0, cand.size, chunk):
-        idx = cand[s:s + chunk]
-        tvec = pts[idx][:, None, :] - v0[None, :, :]      # [n, M, 3]
-        u = (tvec * pvec[None, :, :]).sum(axis=2) * inv_det[None, :]
-        qvec = np.cross(tvec, e1[None, :, :])
-        v = (qvec * d).sum(axis=2) * inv_det[None, :]
-        t = (qvec * e2[None, :, :]).sum(axis=2) * inv_det[None, :]
-        hit = ok[None, :] & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0)
-        inside[idx] = (hit.sum(axis=1) % 2) == 1
+        q = P[s:s + chunk]
+        qy = q[:, 1][:, None]
+        qz = q[:, 2][:, None]
+        pos = None
+        neg = None
+        for dy, dz, c0 in eyz:
+            sgn = dy[None, :] * qz - dz[None, :] * qy + c0[None, :]
+            p = sgn > 0.0
+            m = sgn < 0.0
+            pos = p if pos is None else (pos & p)
+            neg = m if neg is None else (neg & m)
+        xhit = x0[None, :] - gy[None, :] * qy - gz[None, :] * qz
+        hit = (pos | neg) & ok[None, :] & (xhit > q[:, 0][:, None])
+        inside[cand[s:s + chunk]] = (hit.sum(axis=1) % 2) == 1
     return inside
 
 

@@ -21,13 +21,15 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
 CONFIGS = {
     "coarse": dict(wall_h=2e-2, feature_h=1e-2, steps=20000),
     "medium": dict(wall_h=1e-2, feature_h=5e-3, steps=30000),
-    # round 3: the trailing-edge "breakdown" was root-caused to host
-    # compile bugs (bogus empty-ball ghost projections + double-counted
-    # exotic-pair faces); with those fixed a plain TVD-RK2 march survives
-    # indefinitely at wall_h = 5e-4 — no IRS needed. Convergence at 881k
-    # cells just needs many more pseudo-steps.
-    "fine": dict(wall_h=5e-4, feature_h=2.5e-4, steps=120000,
-                 block_size=16, cfl=0.6),
+    # round 3: the "fine" oracle level is the finest level at which the
+    # reference scheme family still CONVERGES (steady, Cl=0.7777 at
+    # 120k steps). Below it the staircase-wall pseudo-boundary-layer
+    # collapses the lift (BASELINE.md round-3 study: 0.655 at 2.5e-3,
+    # decaying past 0.51 at 5e-4) — marches there are STABLE (the round-2
+    # crash was fixed) but not accurate. block_size=8 dodges a
+    # [580,16,16,C]-shape TPU backend fault (same study).
+    "fine": dict(wall_h=5e-3, feature_h=2.5e-3, steps=120000,
+                 block_size=8, cfl=0.7),
 }
 
 # late-march Cp snapshots to quantify the shock limit cycle (phase spread)
