@@ -26,7 +26,10 @@ def main():
     if which == "sphere3d":
         from ibx.cases import build_sphere3d
 
-        wall_h = float(os.environ.get("IBX_BENCH_WALL_H", "0.012"))
+        # 0.03 = the documented 5.3M-cell workload-4 config (BASELINE.md);
+        # finer settings multiply the 1-CPU host build time well past an
+        # hour without changing the throughput story
+        wall_h = float(os.environ.get("IBX_BENCH_WALL_H", "0.03"))
         block_size = int(os.environ.get("IBX_BENCH_BLOCK_SIZE", "16"))
         case = build_sphere3d(wall_h=wall_h, cfl=0.5, block_size=block_size)
     else:
