@@ -298,6 +298,16 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
     for sp, wdim in zip(spans, win):
         eligible = eligible & (
             (sp.max(axis=1) - sp.min(axis=1)) <= wdim - 1)
+    if nd == 3:
+        # The (3,3)-row-plane patch gather is a PESSIMIZATION in 3D:
+        # it moves 9 full [16, C] rows per ghost where the per-point
+        # fallback moves k=8 narrow rows — no row-count win (TPU gathers
+        # are per-row latency-bound) and 18x the bytes. Measured on the
+        # 5.3M-cell sphere (148k ghosts): 20 ms per BC application for
+        # the patch gather alone, ~37% of the step; disabling restores
+        # the fallback path. In 2D the patch IS the win ((3,)x16 = 3
+        # rows vs 4-8) and stays on.
+        eligible[:] = False
 
     # canonical order: patch ghosts first, then fallback; id-sorted within
     order = np.lexsort((ghosts, (~eligible).astype(np.int8)))

@@ -50,7 +50,12 @@ def test_sharded_block_matches_single_device():
     assert np.isfinite(out).all()
     scale = np.abs(ref).max(axis=0)
     err = (np.abs(out - ref) / scale).max()
-    assert err < 2e-5, f"sharded-vs-single (shocked) mismatch {err}"
+    # band: 3 RK2 steps of f32 summation-order noise near the shock (the
+    # sharded BC gathers sum in a different order than BlockedBC's patch
+    # path). Recalibrated round 3 after w_cap=1.5 shifted the 400-step
+    # setup trajectory (measured 4.2e-5); the one-ring halo bug this test
+    # exists to catch produced 7.5e-4 — an order more.
+    assert err < 1e-4, f"sharded-vs-single (shocked) mismatch {err}"
 
 
 def test_sharded_sphere3d_matches_single_device():
@@ -99,7 +104,7 @@ def test_sharded_overlap_matches_single_device():
     assert np.isfinite(out).all()
     scale = np.abs(ref).max(axis=0)
     err = (np.abs(out - ref) / scale).max()
-    assert err < 2e-5, f"overlap sharded-vs-single mismatch {err}"
+    assert err < 1e-4, f"overlap sharded-vs-single mismatch {err}"
 
 
 def test_sharded_te_fix_matches_single_device():
@@ -117,4 +122,9 @@ def test_sharded_te_fix_matches_single_device():
     ref = np.asarray(P_ref)
     scale = np.abs(ref).max(axis=0)
     err = (np.abs(out - ref) / scale).max()
-    assert err < 2e-5, f"sharded te-fix mismatch {err}"
+    # the TE-fix band is the loosest: w_cap=1.5 (round 3) reroutes exactly
+    # the degenerate TRAILING-EDGE stencils through IDW, and this case's
+    # 50-step freestream start has its strongest gradients there, so the
+    # gather-order f32 noise peaks in the fixed region (measured 1.1e-4;
+    # the halo-ring bug class this file guards against shows at >= 7.5e-4)
+    assert err < 3e-4, f"sharded te-fix mismatch {err}"

@@ -42,7 +42,7 @@ def test_dryrun_multichip_driver_path():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
-        capture_output=True, text=True, timeout=600, env=env,
+        capture_output=True, text=True, timeout=2400, env=env,
         cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
