@@ -224,11 +224,26 @@ class DistanceField:
         flat_simp = np.concatenate(
             [np.asarray(c, dtype=np.int64) for c in cand_lists if len(c)]
         )
-        cand_proj = project_on_simplices(
-            self._coords[flat_simp].astype(np.float64),
-            pts[flat_pt].astype(np.float64),
-        )
-        cand_d = np.sqrt(((cand_proj - pts[flat_pt]) ** 2).sum(axis=1))
+        # cache-blocked exact projection: the unblocked form materializes
+        # [Q, k, nd] f64 gathers plus ~15 [Q, nd] temporaries inside
+        # project_on_triangles (Q = tens of millions of (point, simplex)
+        # candidate pairs on 3D meshes — measured 118 s of the 5.3M-cell
+        # sphere build); 256k-row chunks keep every temporary
+        # cache-resident. cand_d stays f64 (the min/tie selection below
+        # compares against the f64 dist bound); the selected projections
+        # are returned as f32 regardless.
+        Q = flat_pt.shape[0]
+        cand_proj = np.empty((Q, pts.shape[1]), np.float32)
+        cand_d = np.empty(Q, np.float64)
+        CH = 1 << 18
+        for i in range(0, Q, CH):
+            sl = slice(i, min(i + CH, Q))
+            p_sl = pts[flat_pt[sl]].astype(np.float64)
+            cp = project_on_simplices(
+                self._coords[flat_simp[sl]].astype(np.float64), p_sl
+            )
+            cand_proj[sl] = cp
+            cand_d[sl] = np.sqrt(((cp - p_sl) ** 2).sum(axis=1))
 
         # segment-min over candidates of the same point
         better_d = dist.copy()
