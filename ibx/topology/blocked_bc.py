@@ -285,7 +285,7 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
 
     # ---- patch eligibility: stencil fits one same-block window of
     # full-x rows (win = (WY,) rows in 2D, (WZ, WY) row-planes in 3D) ----
-    win = (min(3, bs),) if nd == 2 else (min(3, bs), min(3, bs))
+    win = (min(3, bs),) if nd == 2 else (min(2, bs), min(2, bs))
     sblk = idx // npb
     same = (sblk == sblk[:, :1]).all(axis=1)
     within_idx = idx % npb
@@ -299,14 +299,13 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         eligible = eligible & (
             (sp.max(axis=1) - sp.min(axis=1)) <= wdim - 1)
     if nd == 3:
-        # The (3,3)-row-plane patch gather is a PESSIMIZATION in 3D:
-        # it moves 9 full [16, C] rows per ghost where the per-point
-        # fallback moves k=8 narrow rows — no row-count win (TPU gathers
-        # are per-row latency-bound) and 18x the bytes. Measured on the
-        # 5.3M-cell sphere (148k ghosts): 20 ms per BC application for
-        # the patch gather alone, ~37% of the step; disabling restores
-        # the fallback path. In 2D the patch IS the win ((3,)x16 = 3
-        # rows vs 4-8) and stays on.
+        # 3D patch windows are a measured LOSS on the 5.3M-cell sphere
+        # bench vs the k=8 per-point fallback (36.4M cell-updates/s/chip):
+        # (3,3) = 9 full [16, C] rows/ghost -> 29.9M; even (2,2) = 4 rows
+        # -> 32.3M. Full-row gathers at 16 x C width are NOT free relative
+        # to narrow rows at this ghost count (148k), so the fallback path
+        # stays. In 2D the (3,) window IS the win (3 rows vs 4-8) and
+        # stays on.
         eligible[:] = False
 
     # canonical order: patch ghosts first, then fallback; id-sorted within
