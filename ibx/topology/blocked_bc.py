@@ -50,27 +50,35 @@ class BlockedBC:
     Built by `build_blocked_bc`; apply with ``bc(P3, fns)`` where
     ``fns[name](P_image, normals) -> bc values`` (same contract as
     `FusedBoundary`).
+
+    Image-point stencils are DEDUPLICATED: ghosts sharing an identical
+    (index, weight) stencil row — every hypercube-family ghost column does,
+    since its 2 (2D) / 3 (3D) layered ghosts project to the same plane
+    point and image distance — interpolate once; ``g2u`` expands the unique
+    image values back to per-ghost rows with one full-row take.
     """
 
-    # image interpolation
-    patch_start: jnp.ndarray   # int32[Gp, nd] (block, (z0,) y0) patch starts
-    patch_w: jnp.ndarray       # f32[Gp, prod(win)*bs] scattered weights
-    fb_start: jnp.ndarray      # int32[Gf*K, 1+nd] (block, y.., x) per point
-    fb_w: jnp.ndarray          # f32[Gf, K]
-    # BC data (canonical ghost order: patch ghosts first, then fallback)
+    # image interpolation (over UNIQUE stencils, n_patch + n_fb rows)
+    patch_start: jnp.ndarray   # int32[Up, nd] (block, (z0,) y0) patch starts
+    patch_w: jnp.ndarray       # f32[Up, prod(win)*bs] scattered weights
+    fb_cell: jnp.ndarray       # int32[Uf*K] flat cell ids per stencil point
+    fb_w: jnp.ndarray          # f32[Uf, K]
+    g2u: jnp.ndarray           # int32[G] ghost -> unique stencil row
+    # BC data (canonical ghost order: sorted by global cell id)
     normals: jnp.ndarray       # f32[G, nd]
     eta: jnp.ndarray           # f32[G, 1]
     family: jnp.ndarray        # int32[G]
     image_distances: jnp.ndarray  # f32[G] (wall-model BCs need them)
     ghosts: jnp.ndarray        # int32[G] canonical-order global cell ids
-    # phase-view run placement (see `place`)
-    gblocks: jnp.ndarray       # int32[GB] sorted ghost-block ids
-    tile_row: jnp.ndarray      # int32[GB, n_tiles, T] rows into phase stack
-    tile_lo: jnp.ndarray       # int32[GB, n_tiles, T] first in-tile slot
-    tile_hi: jnp.ndarray       # int32[GB, n_tiles, T] one-past-last slot
+    # phase-view run placement over ghost-containing 16-slot tiles only
+    # (see `__call__`); E = number of such tiles
+    tile_gid: jnp.ndarray      # int32[E] global tile row (blk*n_tiles + t)
+    tile_row: jnp.ndarray      # int32[E, T] rows into the phase stack
+    tile_lo: jnp.ndarray       # int32[E, T] first in-tile slot of the run
+    tile_hi: jnp.ndarray       # int32[E, T] one-past-last slot
+    tile_mask: jnp.ndarray     # f32[E, 16] 1 on ghost slots
     ovf_src: jnp.ndarray       # int32[O] g rows of overflow ghosts
-    ovf_dst: jnp.ndarray       # int32[O] (gb * npb + slot) of those ghosts
-    ghost_mask: jnp.ndarray    # f32[GB, bs.., 1] 1 on ghost slots
+    ovf_dst: jnp.ndarray       # int32[O] (e * 16 + slot) of those ghosts
     names: Tuple[str, ...]
     bs: int
     nd: int
@@ -82,7 +90,9 @@ class BlockedBC:
     patch_win: Tuple[int, ...]
 
     def interpolate(self, P3):
-        """Image-point values [G, C] in canonical ghost order."""
+        """Image-point values [U, C] in canonical UNIQUE-stencil order
+        (patch stencils first, then fallback); expand per-ghost with
+        ``take(values, g2u)``."""
         bs, nd = self.bs, self.nd
         C = P3.shape[-1]
         parts = []
@@ -103,21 +113,16 @@ class BlockedBC:
             ).reshape(self.n_patch, int(np.prod(win)) * bs, C)
             parts.append((patch * self.patch_w[..., None]).sum(axis=1))
         if self.n_fb:
-            dn = lax.GatherDimensionNumbers(
-                offset_dims=(1,),
-                collapsed_slice_dims=tuple(range(1 + nd)),
-                start_index_map=tuple(range(1 + nd)),
-            )
-            pts = lax.gather(
-                P3, self.fb_start, dn,
-                slice_sizes=(1,) * (1 + nd) + (C,),
-                mode=_PIB,
-            ).reshape(self.n_fb, self.fb_width, C)
+            # flat full-row takes (the block grid reshapes to [N, C] for
+            # free; 1 x C rows are the fast TPU gather shape)
+            P_flat = P3.reshape(-1, C)
+            pts = jnp.take(P_flat, self.fb_cell, axis=0).reshape(
+                self.n_fb, self.fb_width, C)
             parts.append((pts * self.fb_w[..., None]).sum(axis=1))
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     def place(self, g):
-        """[G, C] canonical-order values -> dense [GB, bs.., C] grids.
+        """[G, C] canonical-order values -> per-tile values [E, 16, C].
 
         Sorted ghosts decompose into runs of consecutive cell ids =
         consecutive value rows AND consecutive block slots, so placement is
@@ -126,11 +131,13 @@ class BlockedBC:
         row!), so windows are read as FULL rows of a 16-phase shifted view
         stack: phase p is the contiguous reslice g_flat[p*C:] viewed as
         [M, 16*C] rows; any 16-aligned tile of a run is one row of one
-        phase. Per (block, 16-slot tile, covering run): one `take` row plus
-        an interval mask.
+        phase. Per (ghost-containing 16-slot tile, covering run): one
+        `take` row plus an interval mask. Only tiles that actually hold
+        ghosts are assembled (a dense per-block grid wastes ~5x in 3D,
+        where ghosts cover a few planes of a 4096-cell block).
         """
         C = g.shape[-1]
-        GB, n_tiles, T = self.tile_row.shape
+        E, T = self.tile_row.shape
         g_flat = jnp.concatenate([
             jnp.zeros((self.g_pad_front, C), g.dtype),
             g,
@@ -143,19 +150,19 @@ class BlockedBC:
              .reshape(M, 16 * C) for p in range(16)]
         ).reshape(16 * M, 16 * C)
         rows = jnp.take(phases, self.tile_row.reshape(-1), axis=0)
-        rows = rows.reshape(GB, n_tiles, T, 16, C)
+        rows = rows.reshape(E, T, 16, C)
         j = jnp.arange(16, dtype=jnp.int32)
         m = ((j >= self.tile_lo[..., None]) & (j < self.tile_hi[..., None]))
         # where(), not multiply: a NaN in an unselected row slot must not
         # contaminate the tile (0 * NaN = NaN)
-        placed = jnp.where(m[..., None], rows, 0.0).sum(axis=2)
+        placed = jnp.where(m[..., None], rows, 0.0).sum(axis=1)
         if self.ovf_src.shape[0]:
             # rare ghosts beyond T covering runs per tile: plain row scatter
-            placed = placed.reshape(GB * n_tiles * 16, C).at[self.ovf_dst].set(
+            placed = placed.reshape(E * 16, C).at[self.ovf_dst].set(
                 jnp.take(g, self.ovf_src, axis=0),
                 unique_indices=True, indices_are_sorted=True,
-            ).reshape(GB, n_tiles, 16, C)
-        return placed.reshape((GB,) + (self.bs,) * self.nd + (C,))
+            ).reshape(E, 16, C)
+        return placed
 
     def __call__(self, P3, fns: Dict[str, Callable], *,
                  guard: Callable = None,
@@ -168,7 +175,7 @@ class BlockedBC:
         [*, C] VMEM windows pad to 128 lanes; removed rather than kept as
         shelfware. The Pallas effort belongs to the RHS mega-kernel.)
         """
-        Pi = self.interpolate(P3)
+        Pi = jnp.take(self.interpolate(P3), self.g2u, axis=0)
         r = None
         for i, name in enumerate(self.names):
             ri = fns[name](Pi, self.normals)
@@ -209,22 +216,31 @@ class BlockedBC:
 
     def _write_xla(self, P3, g):
         placed = self.place(g)
-        nd, bs = self.nd, self.bs
         C = P3.shape[-1]
-        dn = lax.GatherDimensionNumbers(
-            offset_dims=tuple(range(1, nd + 2)),
-            collapsed_slice_dims=(0,), start_index_map=(0,),
-        )
-        old = lax.gather(
-            P3, self.gblocks[:, None], dn,
-            slice_sizes=(1,) + (bs,) * nd + (C,), mode=_PIB,
-        )
-        # where(), not blend-by-multiply: NaN in non-ghost placed slots
-        # must not leak into the kept state
-        new = jnp.where(self.ghost_mask > 0, placed, old)
-        return P3.at[self.gblocks].set(
-            new, unique_indices=True, indices_are_sorted=True
-        )
+        E = int(self.tile_gid.shape[0])
+        if E == 0:
+            return P3
+        # tile-level read-modify-write on the [B * n_tiles, 16 * C] row
+        # view of the state (a free reshape): 16C-wide sorted-row gather +
+        # mask-merge + 16C-wide sorted-row scatter over ONLY the
+        # ghost-containing tiles. Chunked so the fused gather+where+scatter
+        # stack buffer stays well under the 16MB scoped-VMEM limit.
+        view = P3.reshape(-1, 16 * C)
+        per = max(1, (2 << 20) // (16 * C * 4))
+        for i0 in range(0, E, per):
+            i1 = min(i0 + per, E)
+            gid = lax.slice_in_dim(self.tile_gid, i0, i1)
+            old = jnp.take(view, gid, axis=0).reshape(i1 - i0, 16, C)
+            # where(), not blend-by-multiply: NaN in non-ghost placed
+            # slots must not contaminate the kept state
+            new = jnp.where(
+                lax.slice_in_dim(self.tile_mask, i0, i1)[..., None] > 0,
+                lax.slice_in_dim(placed, i0, i1), old)
+            view = view.at[gid].set(
+                new.reshape(i1 - i0, 16 * C),
+                unique_indices=True, indices_are_sorted=True,
+            )
+        return view.reshape(P3.shape)
 
 
 def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
@@ -280,15 +296,28 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
     imd = np.concatenate(imd_l).astype(np.float32)
     family = np.concatenate(fam_l)
 
-    blk = ghosts // npb
-    within = ghosts % npb
+    # ---- stencil dedup -----------------------------------------------------
+    # Hypercube-family ghost columns share image points exactly (same plane
+    # projection, same image distance), so their (idx, w) stencil rows are
+    # bit-identical: interpolate each unique stencil once and expand with a
+    # full-row take. On the 5.3M-cell sphere this collapses the 122k
+    # farfield ghosts to ~1/3 as many interpolations.
+    key = np.concatenate(
+        [idx.astype(np.int64),
+         np.ascontiguousarray(w, np.float32).view(np.uint32).astype(np.int64)],
+        axis=1)
+    _, first, g2u_pre = np.unique(
+        key, axis=0, return_index=True, return_inverse=True)
+    u_idx = idx[first]
+    u_w = w[first]
+    U = first.size
 
-    # ---- patch eligibility: stencil fits one same-block window of
+    # ---- patch eligibility: unique stencil fits one same-block window of
     # full-x rows (win = (WY,) rows in 2D, (WZ, WY) row-planes in 3D) ----
     win = (min(3, bs),) if nd == 2 else (min(2, bs), min(2, bs))
-    sblk = idx // npb
+    sblk = u_idx // npb
     same = (sblk == sblk[:, :1]).all(axis=1)
-    within_idx = idx % npb
+    within_idx = u_idx % npb
     rows = within_idx // bs            # y in 2D; (z*bs + y) // bs in 3D
     if nd == 2:
         spans = [rows % bs]
@@ -308,23 +337,30 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         # stays on.
         eligible[:] = False
 
-    # canonical order: patch ghosts first, then fallback; id-sorted within
-    order = np.lexsort((ghosts, (~eligible).astype(np.int8)))
+    # canonical unique order: patch stencils first, then fallback
+    u_order = np.argsort(~eligible, kind="stable")
+    u_rank = np.empty(U, dtype=np.int64)
+    u_rank[u_order] = np.arange(U)
+    g2u = u_rank[g2u_pre].astype(np.int32)
+    u_idx = u_idx[u_order]
+    u_w = u_w[u_order]
+    Up = int(eligible.sum())
+    Uf = U - Up
+
+    # canonical ghost order: id-sorted (maximises consecutive-id runs for
+    # the write-back placement)
+    order = np.argsort(ghosts)
     ghosts_c = ghosts[order]
-    idx_c = idx[order]
-    w_c = w[order]
-    elig_c = eligible[order]
-    blk_c = blk[order]
-    within_c = within[order]
-    Gp = int(elig_c.sum())
+    g2u = g2u[order]
     G = ghosts.size
-    Gf = G - Gp
+    blk_c = ghosts_c // npb
+    within_c = ghosts_c % npb
 
     # ---- patch tables ------------------------------------------------------
     nwin = int(np.prod(win))
-    if Gp:
-        pidx = idx_c[:Gp]
-        pw = w_c[:Gp]
+    if Up:
+        pidx = u_idx[:Up]
+        pw = u_w[:Up]
         pb = (pidx[:, 0] // npb).astype(np.int32)
         pwithin = pidx % npb
         pcol = pwithin % bs
@@ -339,28 +375,21 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
             rr = rr * wdim + (sp - s0[:, None])
         rr = rr * bs + pcol
         patch_start = np.stack(starts, axis=1).astype(np.int32)
-        patch_w = np.zeros((Gp, nwin * bs), dtype=np.float32)
-        np.add.at(patch_w, (np.arange(Gp)[:, None], rr), pw)
+        patch_w = np.zeros((Up, nwin * bs), dtype=np.float32)
+        np.add.at(patch_w, (np.arange(Up)[:, None], rr), pw)
     else:
         patch_start = np.zeros((0, nd), np.int32)
         patch_w = np.zeros((0, nwin * bs), np.float32)
 
     # ---- fallback tables ---------------------------------------------------
-    if Gf:
-        fidx = idx_c[Gp:]
-        fb_w = w_c[Gp:]
-        coords = [fidx // npb]
-        rem = fidx % npb
-        for d in range(nd - 1, -1, -1):
-            coords.append(rem // (bs ** d))
-            rem = rem % (bs ** d)
-        fb_start = np.stack(
-            [c.reshape(-1) for c in coords], axis=1).astype(np.int32)
+    if Uf:
+        fb_cell = u_idx[Up:].reshape(-1).astype(np.int32)
+        fb_w = u_w[Up:]
     else:
-        fb_start = np.zeros((0, 1 + nd), np.int32)
+        fb_cell = np.zeros(0, np.int32)
         fb_w = np.zeros((0, K), np.float32)
 
-    # ---- runs -> per-(block, 16-slot tile) phase-view rows -----------------
+    # ---- runs -> per-ghost-tile phase-view rows -----------------------------
     n_tiles = npb // 16
     pad_front = ((npb + 15) // 16 + 1) * 16   # window starts >= -npb
     pad_len = ((pad_front + G + 16 * 2 + 15) // 16) * 16 + 16
@@ -369,47 +398,45 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         brk = np.zeros(G, dtype=bool)
         brk[0] = True
         if G > 1:
-            brk[1:] = (
-                (np.diff(ghosts_c) != 1)
-                | (np.diff(blk_c) != 0)
-                | (np.diff(elig_c.astype(np.int8)) != 0)
-            )
+            brk[1:] = (np.diff(ghosts_c) != 1) | (np.diff(blk_c) != 0)
         starts = np.nonzero(brk)[0]
         lens = np.diff(np.concatenate([starts, [G]]))
         run_blk = blk_c[starts]
         run_s0 = within_c[starts]
-        gblocks = np.unique(run_blk)
-        g2gb = {int(b): i for i, b in enumerate(gblocks)}
-        GB = gblocks.size
-        # entries[(gb, tile)] -> list of (phase_row, lo, hi, g_off_of_lo)
+        # entries[tile_gid] -> list of (phase_row, lo, hi, g_off_of_lo);
+        # tile_gid = global_block * n_tiles + tile indexes the
+        # [B * n_tiles, 16 * C] row view of the state
         entries = {}
         for rs0, rlen, rblk, rgoff in zip(run_s0, lens, run_blk, starts):
-            i = g2gb[int(rblk)]
             for t in range(int(rs0) // 16, (int(rs0) + int(rlen) + 15) // 16):
                 a = pad_front + int(rgoff) - int(rs0) + 16 * t
                 row = (a % 16) * M + a // 16
                 lo = max(int(rs0) - 16 * t, 0)
                 hi = min(int(rs0) + int(rlen) - 16 * t, 16)
                 goff_lo = int(rgoff) + max(16 * t - int(rs0), 0)
-                entries.setdefault((i, t), []).append((row, lo, hi, goff_lo))
-        # T covering runs per tile handled densely; overflow (rare: >95% of
-        # padded table slots are empty at T = max) falls back to a row
-        # scatter of the remaining ghosts
+                gid = int(rblk) * n_tiles + t
+                entries.setdefault(gid, []).append((row, lo, hi, goff_lo))
+        gids = np.asarray(sorted(entries), np.int64)
+        g2e = {int(g): e for e, g in enumerate(gids)}
+        E = gids.size
+        # T covering runs per tile handled densely; overflow (rare) falls
+        # back to a row scatter of the remaining ghosts
         T = min(2, max(len(v) for v in entries.values()))
-        tile_row = np.zeros((GB, n_tiles, T), np.int32)
-        tile_lo = np.zeros((GB, n_tiles, T), np.int32)
-        tile_hi = np.zeros((GB, n_tiles, T), np.int32)   # hi=0 -> empty mask
+        tile_row = np.zeros((E, T), np.int32)
+        tile_lo = np.zeros((E, T), np.int32)
+        tile_hi = np.zeros((E, T), np.int32)   # hi=0 -> empty mask
         ovf_src, ovf_dst = [], []
-        for (i, t), ent in entries.items():
+        for gid, ent in entries.items():
+            e = g2e[gid]
             for j, (row, lo, hi, goff_lo) in enumerate(ent):
                 if j < T:
-                    tile_row[i, t, j] = row
-                    tile_lo[i, t, j] = lo
-                    tile_hi[i, t, j] = hi
+                    tile_row[e, j] = row
+                    tile_lo[e, j] = lo
+                    tile_hi[e, j] = hi
                 else:
                     for s in range(lo, hi):
                         ovf_src.append(goff_lo + (s - lo))
-                        ovf_dst.append((i * n_tiles + t) * 16 + s)
+                        ovf_dst.append(e * 16 + s)
         if ovf_dst:
             ovf_order = np.argsort(ovf_dst)
             ovf_src = np.asarray(ovf_src, np.int32)[ovf_order]
@@ -417,41 +444,43 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
         else:
             ovf_src = np.zeros(0, np.int32)
             ovf_dst = np.zeros(0, np.int32)
-        gmask = np.zeros((GB, npb), np.float32)
-        gb_of_ghost = np.array([g2gb[int(b)] for b in blk_c])
-        gmask[gb_of_ghost, within_c] = 1.0
-        gmask = gmask.reshape((GB,) + (bs,) * nd + (1,))
+        tile_mask = np.zeros((E, 16), np.float32)
+        e_of_ghost = np.asarray(
+            [g2e[int(b) * n_tiles + int(wi) // 16]
+             for b, wi in zip(blk_c, within_c)])
+        tile_mask[e_of_ghost, within_c % 16] = 1.0
     else:
-        gblocks = np.zeros((0,), np.int64)
-        tile_row = np.zeros((0, n_tiles, 1), np.int32)
-        tile_lo = np.zeros((0, n_tiles, 1), np.int32)
-        tile_hi = np.zeros((0, n_tiles, 1), np.int32)
+        gids = np.zeros((0,), np.int64)
+        tile_row = np.zeros((0, 1), np.int32)
+        tile_lo = np.zeros((0, 1), np.int32)
+        tile_hi = np.zeros((0, 1), np.int32)
         ovf_src = np.zeros(0, np.int32)
         ovf_dst = np.zeros(0, np.int32)
-        gmask = np.zeros((0,) + (bs,) * nd + (1,), np.float32)
+        tile_mask = np.zeros((0, 16), np.float32)
 
     bc = BlockedBC(
         patch_start=patch_start,
         patch_w=patch_w,
-        fb_start=fb_start,
+        fb_cell=fb_cell,
         fb_w=np.ascontiguousarray(fb_w, dtype=np.float32),
+        g2u=g2u,
         normals=normals[order],
         eta=eta[order][:, None],
         image_distances=imd[order],
         family=family[order].astype(np.int32),
-        ghosts=ghosts[order].astype(np.int32),
-        gblocks=gblocks.astype(np.int32),
+        ghosts=ghosts_c.astype(np.int32),
+        tile_gid=gids.astype(np.int32),
         tile_row=tile_row,
         tile_lo=tile_lo,
         tile_hi=tile_hi,
+        tile_mask=tile_mask,
         ovf_src=ovf_src,
         ovf_dst=ovf_dst,
-        ghost_mask=gmask,
         names=tuple(names),
         bs=bs,
         nd=nd,
-        n_patch=Gp,
-        n_fb=Gf,
+        n_patch=Up,
+        n_fb=Uf,
         fb_width=K,
         g_pad_front=pad_front,
         g_pad_len=pad_len,

@@ -16,7 +16,13 @@ def test_blocked_bc_matches_fused():
     bt = build_block_tables(dom)
     fb = dom.fused_boundary(["farfield", "wall"])
     bbc = build_blocked_bc(dom, ["farfield", "wall"])
-    assert bbc.n_patch + bbc.n_fb == int(fb.ghost.shape[0])
+    G = int(fb.ghost.shape[0])
+    assert bbc.ghosts.shape[0] == G
+    # stencil dedup: unique stencils strictly fewer than ghosts (hypercube
+    # ghost columns share image points), and every ghost maps to one
+    assert bbc.n_patch + bbc.n_fb < G
+    assert bbc.g2u.shape[0] == G
+    assert int(np.asarray(bbc.g2u).max()) == bbc.n_patch + bbc.n_fb - 1
     assert bbc.n_patch > 0, "patch fast path unused on the airfoil mesh"
 
     farfield_bc = flow_bc(case.fluid, case.P_inf)
