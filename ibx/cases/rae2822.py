@@ -65,7 +65,21 @@ def build_rae2822(
     fluid_ghost_ratio: float = None,
     reflect_solid_images: bool = False,
     ghost_layer_ratio: float = 1.5,
+    cutcell: bool = False,
 ) -> Rae2822Case:
+    # cut-cell wall (flagged deviation; `ibx.geometry.cutcell`): the wall
+    # enters through aperture-weighted fluxes + an explicit wall pressure
+    # flux on the true wall geometry. Every fluid cell is SOLVED (no
+    # eta-overwritten fluid ghost rows — the fine-mesh circulation-bleed
+    # mechanism, BASELINE.md round 3); in-solid ghosts keep sane values via
+    # reflected images + mirrored normal velocity.
+    if cutcell:
+        if not use_blocks or n_partitions != 1:
+            raise ValueError("cutcell=True requires the block fast path")
+        fluid_ghost_ratio = 0.0
+        reflect_solid_images = True
+        mirror_wall = True
+
     stl = merge_points(load_surface(RAE_DAT))
     features = DistanceField(feature_regions(stl, radius=0.05))
 
@@ -75,6 +89,26 @@ def build_rae2822(
         refinement_regions=[(features, feature_h)],
         block_size=block_size,
     )
+
+    from ..geometry.inside import points_inside
+    from ..geometry.octree import get_cells
+
+    _centers, _widths, _ = get_cells(msh)
+    inside = points_inside(stl, _centers)
+
+    # cut-cell solved set: every cell with fluid fraction above the floor
+    # is marched, INCLUDING center-in-solid cut cells (freezing them would
+    # rebuild the staircase wall one row lower; tests/test_cutcell.py)
+    _ALPHA_FLOOR = 0.05
+    cc_alpha = None
+    solve_in = None
+    if cutcell:
+        from ..geometry.cutcell import fluid_fractions_2d
+
+        cc_alpha = fluid_fractions_2d(
+            stl, msh.distance_fields["wall"], _centers, _widths, inside)
+        solve_in = inside & (cc_alpha > _ALPHA_FLOOR)
+
     dom = Domain(
         msh,
         n_partitions=n_partitions,
@@ -84,15 +118,16 @@ def build_rae2822(
         fluid_ghost_ratio=fluid_ghost_ratio,
         reflect_solid_images=reflect_solid_images,
         ghost_layer_ratio=ghost_layer_ratio,
+        solve_inside_cells=solve_in,
     )
 
     # freeze cells strictly inside the airfoil (their free evolution — the
     # reference's behavior — diverges at fine resolution and pollutes
-    # image-point stencils through the interior ghost band)
-    from ..geometry.inside import points_inside
-
-    inside = points_inside(stl, dom.centers)
-    active = jnp.asarray((~inside).astype(np.float32))
+    # image-point stencils through the interior ghost band). Under the
+    # cut-cell flag, in-solid cells above the fluid-fraction floor are
+    # solved instead.
+    solved_mask = ~inside if solve_in is None else (~inside | solve_in)
+    active = jnp.asarray(solved_mask.astype(np.float32))
 
     fluid = make_fluid()
     T_inf = 288.15
@@ -220,6 +255,29 @@ def build_rae2822(
         if fix_f.any():
             fix3 = to_blocks(bt, jnp.asarray(fix_f)[:, None])
 
+        cut3 = None
+        if cutcell:
+            from ..geometry.cutcell import cut_metrics_2d
+
+            cm = cut_metrics_2d(
+                stl, msh.distance_fields["wall"], dom.centers, dom.widths,
+                solved_mask, dom.face_dim, dom.face_owner,
+                dom.face_neighbor, alpha=cc_alpha,
+                alpha_floor=_ALPHA_FLOOR,
+            )
+            cut3 = dict(
+                owner=tuple(jnp.asarray(o) for o in cm["owner"]),
+                neighbor=tuple(jnp.asarray(n) for n in cm["neighbor"]),
+                wr=tuple(jnp.asarray(w) for w in cm["wr"]),
+                wl=tuple(jnp.asarray(w) for w in cm["wl"]),
+                wall_cells=jnp.asarray(cm["wall_cells"]),
+                wall_coef=jnp.asarray(cm["wall_coef"]),
+                xw_rel=jnp.asarray(cm["xw_rel"]),
+                inv_alpha3=to_blocks(
+                    bt, jnp.asarray(cm["inv_alpha"])[:, None]),
+                alpha3=to_blocks(bt, jnp.asarray(cm["alpha"])[:, None])[..., 0],
+            )
+
         def _grid_step(P3):
             kw = {}
             if scheme != "euler":
@@ -227,7 +285,7 @@ def build_rae2822(
                 kw["irs_eps"] = irs_eps
             return stepper(bt, fluid, P3, apply_bcs3, cfl=cfl,
                            high_order=high_order, active3=active3,
-                           fix3=fix3, **kw)
+                           fix3=fix3, cut3=cut3, **kw)
 
         def _one_step(P):
             P3, res = _grid_step(to_blocks(bt, P))
@@ -247,7 +305,7 @@ def build_rae2822(
             def body(_, P3):
                 return rk2_step_grid(bt, fluid, P3, apply_bcs3, cfl=cfl,
                                      high_order=high_order, active3=active3,
-                                     fix3=fix_ones3)[0]
+                                     fix3=fix_ones3, cut3=cut3)[0]
             P3 = jax.lax.fori_loop(0, n_steps, body, to_blocks(bt, P))
             return to_flat(bt, P3)
     else:
@@ -266,7 +324,7 @@ def build_rae2822(
         return _one_step(P)
 
     P0 = np.tile(P_inf, (dom.ncells, 1))
-    P0[inside, 2:] = 0.0      # stagnant solid interior (frozen)
+    P0[~solved_mask, 2:] = 0.0      # stagnant solid interior (frozen)
     P0 = apply_bcs(jnp.asarray(P0))
 
     blocks_on = use_blocks and n_partitions == 1
@@ -275,7 +333,8 @@ def build_rae2822(
         step=step, march=march, P0=P0, apply_bcs=apply_bcs,
         march_robust=march_robust if blocks_on else None,
         grid=(dict(bt=bt, apply_bcs3=apply_bcs3, active3=active3,
-                   fix3=fix3) if blocks_on else None),
+                   fix3=fix3, cut3=cut3 if cutcell else None)
+              if blocks_on else None),
     )
 
 

@@ -268,11 +268,11 @@ def _col_slice(cols, sl):
     return tuple(None if c is None else c[..., sl] for c in cols)
 
 
-def _generic_sparse(bt: BlockTables, d: int, W_flat, face_fn: Callable,
-                    n_out: int, signed_mask):
-    """Leftover faces: batched gather + scatter-add (exotic topologies)."""
-    o = bt.sp_owner[d]
-    n = bt.sp_neighbor[d]
+def _sparse_accum(bt: BlockTables, d: int, W_flat, face_fn: Callable,
+                  n_out: int, signed_mask, o, n, wr, wl):
+    """Sparse face accumulation: gather (owner, neighbor) rows, evaluate
+    ``face_fn``, scatter-add with per-face weights (wr to the owner, wl to
+    the neighbor with the signed flip), divide by the cell spacing."""
     Wo = jnp.take(W_flat, o, axis=0)
     Wn = jnp.take(W_flat, n, axis=0)
     sp = bt.spacing_flat[:, d]
@@ -282,9 +282,17 @@ def _generic_sparse(bt: BlockTables, d: int, W_flat, face_fn: Callable,
     signed = jnp.asarray(signed_mask, dtype=vals.dtype)
     pm = jnp.where(signed > 0, -1.0, 1.0)
     out = jnp.zeros((bt.n_cells, n_out), dtype=vals.dtype)
-    out = out.at[o].add(bt.sp_wr[d][:, None] * vals)
-    out = out.at[n].add(bt.sp_wl[d][:, None] * vals * pm)
+    out = out.at[o].add(wr[:, None] * vals)
+    out = out.at[n].add(wl[:, None] * vals * pm)
     return out / sp[:, None]
+
+
+def _generic_sparse(bt: BlockTables, d: int, W_flat, face_fn: Callable,
+                    n_out: int, signed_mask):
+    """Leftover faces: batched gather + scatter-add (exotic topologies)."""
+    return _sparse_accum(bt, d, W_flat, face_fn, n_out, signed_mask,
+                         bt.sp_owner[d], bt.sp_neighbor[d],
+                         bt.sp_wr[d], bt.sp_wl[d])
 
 
 def face_accumulate(bt: BlockTables, d: int, W3, face_fn: Callable,
@@ -342,6 +350,7 @@ def euler_rhs_grid(
     fix3=None,
     viscous: bool = False,
     mu_t3=None,
+    cut3=None,
 ):
     """Fused Euler dQ/dt on the block-grid state [B, bs, ..., bs, C];
     numerics identical to `ibx.solve.euler.euler_rhs` (MUSCL + JST blending
@@ -364,6 +373,15 @@ def euler_rhs_grid(
     gradients with the orthogonality-corrected normal component — the
     dense counterpart of `ibx.solve.euler.euler_rhs(viscous=True)`.
     ``mu_t3`` ([B, bs.., 1]) is an optional eddy-viscosity field.
+
+    ``cut3`` (optional): static cut-cell wall tables — the flagged
+    cut-cell wall treatment (`ibx.geometry.cutcell`). Per dim, the
+    solid-covered fraction of each cut face's pass-B flux is removed
+    sparsely; each cut cell gains a wall pressure flux on its true wall
+    vector (wall pressure = cell pressure + pass-A gradient correction to
+    the wall point) and a 1/alpha volume scale; dt is scaled by alpha.
+    Keys: owner/neighbor/w (per-dim tuples), wall_cells, wall_coef
+    (= wall_vec / V), xw_rel, inv_alpha3 [B, bs.., 1], alpha3 [B, bs..].
 
     Returns R3 [B, bs.., C]; with ``with_dt`` also dt3 [B, bs..] and the
     frozen (du3_list, nu3) grids.
@@ -528,9 +546,44 @@ def euler_rhs_grid(
             W_flat = V3.reshape(bt.n_cells, V3.shape[-1])
             gs = _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
             R3 = R3 - gs.reshape(grid_shape + (ncomp,))
+        if cut3 is not None and cut3["owner"][d].shape[0]:
+            # remove the solid-covered fraction (1 - aperture) of the cut
+            # faces' dense fluxes: +w F/h to the owner, -w F/h to the
+            # neighbor exactly cancels that fraction of the dense -gg(F);
+            # hypercube one-sided cut faces carry the weight on one side
+            # only (owner == neighbor == the real cell there)
+            W_flat = V3.reshape(bt.n_cells, V3.shape[-1])
+            rem = _sparse_accum(bt, d, W_flat, face_B, ncomp, signedB,
+                                cut3["owner"][d], cut3["neighbor"][d],
+                                cut3["wr"][d], cut3["wl"][d])
+            R3 = R3 + rem.reshape(grid_shape + (ncomp,))
+
+    if cut3 is not None:
+        wc = cut3["wall_cells"]
+        if wc.shape[0]:
+            # wall pressure flux on the true wall vector; p_w from the
+            # cell pressure plus the pass-A gradient to the wall point
+            P_flat = P3.reshape(bt.n_cells, ncomp)
+            p_w = jnp.take(P_flat, wc, axis=0)[:, 0]
+            for d in range(nd):
+                dp = jnp.take(
+                    du_grids[d].reshape(bt.n_cells, ncomp), wc, axis=0)[:, 0]
+                p_w = p_w + dp * cut3["xw_rel"][:, d]
+            Rmom = -p_w[:, None] * cut3["wall_coef"]        # [M, nd]
+            Rrow = jnp.concatenate(
+                [jnp.zeros((wc.shape[0], 2), Rmom.dtype), Rmom,
+                 jnp.zeros((wc.shape[0], ncomp - 2 - nd), Rmom.dtype)],
+                axis=1)
+            R3 = (R3.reshape(bt.n_cells, ncomp)
+                  .at[wc].add(Rrow, unique_indices=True)
+                  .reshape(grid_shape + (ncomp,)))
+        R3 = R3 * cut3["inv_alpha3"]
 
     if with_dt:
-        return R3, cfl / dt_bound, (du_grids, nu3)
+        dt3 = cfl / dt_bound
+        if cut3 is not None:
+            dt3 = dt3 * cut3["alpha3"]     # cut-cell CFL: V -> alpha V
+        return R3, dt3, (du_grids, nu3)
     return R3
 
 
@@ -639,6 +692,7 @@ def rk2_step_grid(
     freeze_gradients: bool = False,
     irs_eps: float = 0.0,
     fix3=None,
+    cut3=None,
 ):
     """Local-dt TVD-RK2 pseudo step, grid-native (state stays [B, bs.., C]
     end to end; ``apply_bcs3`` maps grid -> grid). Same scheme as
@@ -648,9 +702,11 @@ def rk2_step_grid(
     ``freeze_gradients`` reuses stage-1 gradients/sensor in stage 2
     (frozen-limiter RK; saves one gradient pass per step). ``irs_eps > 0``
     enables implicit residual smoothing (raise ``cfl`` by ~sqrt(1+4 eps)).
-    ``fix3``: trailing-edge robustness blend, see `euler_rhs_grid`."""
+    ``fix3``: trailing-edge robustness blend; ``cut3``: cut-cell wall
+    tables — see `euler_rhs_grid`."""
     R0, dt3, frozen = euler_rhs_grid(bt, fluid, P3, high_order=high_order,
-                                     with_dt=True, cfl=cfl, fix3=fix3)
+                                     with_dt=True, cfl=cfl, fix3=fix3,
+                                     cut3=cut3)
     if irs_eps > 0.0:
         R0 = smooth_residual_grid(bt, R0, eps=irs_eps, active3=active3)
     if active3 is not None:
@@ -660,7 +716,7 @@ def rk2_step_grid(
     P1 = apply_bcs3(_s2p_g(fluid, Q0 + dt * R0))
     R1 = euler_rhs_grid(bt, fluid, P1, high_order=high_order,
                         frozen=frozen if freeze_gradients else None,
-                        fix3=fix3)
+                        fix3=fix3, cut3=cut3)
     if irs_eps > 0.0:
         R1 = smooth_residual_grid(bt, R1, eps=irs_eps, active3=active3)
     P2 = apply_bcs3(_s2p_g(fluid, Q0 + dt * (R0 + R1) / 2))
@@ -678,12 +734,13 @@ def euler_step_grid(
     high_order: bool = True,
     active3=None,
     fix3=None,
+    cut3=None,
 ):
     """Single-stage explicit pseudo step with local time stepping — the
     reference's own march recipe (``test/advection.jl:85-93``): one residual
     evaluation per step. Grid-native."""
     R, dt3, _ = euler_rhs_grid(bt, fluid, P3, high_order=high_order,
-                               with_dt=True, cfl=cfl, fix3=fix3)
+                               with_dt=True, cfl=cfl, fix3=fix3, cut3=cut3)
     if active3 is not None:
         dt3 = dt3 * active3
     Q = primitive2state(fluid, P3) + dt3[..., None] * R

@@ -319,8 +319,15 @@ class Domain(DomainExecutionMixin):
         hypercube_families: Sequence[Tuple[str, Sequence[Tuple[int, bool]]]] = (),
         fluid_ghost_ratio: Optional[float] = None,
         reflect_solid_images: bool = False,
+        solve_inside_cells: Optional[np.ndarray] = None,
         verbose: bool = False,
     ):
+        # ``solve_inside_cells`` (bool[N], cut-cell wall support): in-solid
+        # cells the scheme SOLVES (fluid fraction above the cut-cell
+        # floor). They are dropped from STL ghost bands (the BC must not
+        # overwrite solved cells) and stay eligible as image-stencil
+        # sources. Not persisted into reconstruction_kwargs: coarse
+        # multigrid rebuilds use the plain ghost bands.
         self.mesh = msh
         nd = msh.ndim
         self.nd = nd
@@ -391,6 +398,13 @@ class Domain(DomainExecutionMixin):
                 inside = np.zeros(N, bool)
                 inside[ghosts] = points_inside(
                     dfield.stl, centers[ghosts])
+            if solve_inside_cells is not None and ghosts.size:
+                keep = ~solve_inside_cells[ghosts]
+                ghosts, projs = ghosts[keep], projs[keep]
+                if inside is not None:
+                    inside = inside & ~solve_inside_cells
+                self._stage(f"ghost-solved[{bname}]",
+                            f"{ghosts.size} kept (cut cells solved)")
             if fluid_ghost_ratio is not None and inside is not None:
                 # flagged deviation from the reference's unsigned ghost
                 # band (src/ImmersedBoundary.jl:194-230, which overwrites
