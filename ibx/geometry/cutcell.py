@@ -285,10 +285,23 @@ def cut_metrics_2d(
             continue
         ap[k] = _face_aperture(P0[k], P1[k], bool(inside_p0[k]),
                                segs_all[lst])
-    # cut faces must be equal-size dense faces (the wall band is uniformly
-    # refined); a cut 2:1 face would double-count with the interface path
-    bad = (~equal) & (~hcube) & (ap < 1.0 - 1e-9) & both_solved
-    assert not bad.any(), "cut face on a 2:1 interface (refine the band)"
+    # hanging-face averaging weights (reference src/ImmersedBoundary.jl:
+    # 501-506): a cell receiving n faces on one side accumulates each with
+    # weight 1/n. Cut faces on 2:1 interfaces (feature-refined bands touch
+    # the wall near the LE/TE) must remove with the SAME weights the
+    # structured interface path applied.
+    w_own = np.ones(f_idx.size)
+    w_nbr = np.ones(f_idx.size)
+    for d in range(nd):
+        sel = dims == d
+        o_d = o_f[sel]
+        n_d = n_f[sel]
+        cnt_o = np.bincount(o_d[o_d >= 0], minlength=N)
+        cnt_n = np.bincount(n_d[n_d >= 0], minlength=N)
+        w_own[sel] = np.where(o_d >= 0, 1.0 / np.maximum(
+            cnt_o[np.maximum(o_d, 0)], 1), 1.0)
+        w_nbr[sel] = np.where(n_d >= 0, 1.0 / np.maximum(
+            cnt_n[np.maximum(n_d, 0)], 1), 1.0)
 
     # ---- cell fluid fractions -------------------------------------------
     if alpha is None:
@@ -341,13 +354,13 @@ def cut_metrics_2d(
         if hcube[k]:
             out_o[d].append(anchor[k])
             out_n[d].append(anchor[k])
-            out_wr[d].append(w if has_o[k] else 0.0)
-            out_wl[d].append(0.0 if has_o[k] else w)
+            out_wr[d].append(w * w_own[k] if has_o[k] else 0.0)
+            out_wl[d].append(0.0 if has_o[k] else w * w_nbr[k])
         else:
             out_o[d].append(o_f[k])
             out_n[d].append(n_f[k])
-            out_wr[d].append(w)
-            out_wl[d].append(w)
+            out_wr[d].append(w * w_own[k])
+            out_wl[d].append(w * w_nbr[k])
     return dict(
         owner=[np.asarray(o, np.int32) for o in out_o],
         neighbor=[np.asarray(n, np.int32) for n in out_n],

@@ -202,7 +202,12 @@ def _build_host_boundary(
     gc = centers[ghosts]
     normals = gc - projs
     gd = np.sqrt((normals.astype(np.float64) ** 2).sum(1)).astype(np.float32)
-    normals = normals / (gd[:, None] + _EPS32)
+    # divide by max(gd, eps), NOT gd + eps: hypercube ghost normals must
+    # come out as EXACT unit axis vectors, so that the ghost layers of one
+    # column share bit-identical image points (and hence stencils — the
+    # BlockedBC dedup keys on exact equality; gd + eps made every layer's
+    # normal differ in the last ulps and defeated it)
+    normals = normals / np.maximum(gd, _EPS32)[:, None]
     diam = np.sqrt((widths[ghosts].astype(np.float64) ** 2).sum(1)).astype(np.float32)
     image_d = diam * ghost_ratio + _EPS32
     if reflect_solid and exclude_cells is not None:

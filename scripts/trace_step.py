@@ -39,10 +39,12 @@ def main():
     print("xplanes:", xs)
     if not xs:
         return
+    # xprof first: the tensorboard_plugin_profile build in this image
+    # imports fine but its _pywrap_profiler lacks xspace_to_tools_data
     try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    except ImportError:
         from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
     data, _ = rtd.xspace_to_tool_data([xs[-1]], "hlo_stats", {})
     out = "/tmp/ibx_trace/hlo_stats.json"
     if isinstance(data, bytes):
