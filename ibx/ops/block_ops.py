@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Callable, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -113,6 +115,12 @@ def _edge(bt: BlockTables, u3, d: int, s: int):
     return jax.lax.index_in_dim(u3, idx, axis=ax, keepdims=False)
 
 
+def _btake_rows(bt: BlockTables, slab, idx):
+    """Gather whole-block rows by block id via a 2D row-gather view."""
+    flat = slab.reshape(bt.n_blocks, -1)
+    return jnp.take(flat, idx, axis=0).reshape(slab.shape)
+
+
 def _edge_rows(bt: BlockTables, edge_slab, idx):
     """Gather whole edge columns by block id via a 2D row-gather view."""
     flat = edge_slab.reshape(bt.n_blocks, -1)
@@ -165,6 +173,27 @@ def _coarse_side_neighbors(planes, nd: int):
     return [p2[:, dy::2, dx::2] for dy in (0, 1) for dx in (0, 1)]
 
 
+def _parts(W):
+    """Normalize a channel-parts argument: tuple of grids, or one grid."""
+    return W if isinstance(W, (tuple, list)) else (W,)
+
+
+def _cat_fn(face_fn: Callable, widths):
+    """Wrap a tuple-parts face_fn to operate on channel-concatenated
+    arrays (the 2:1 interface machinery works on small edge columns, where
+    one concat is cheap and keeps its placement logic single-array)."""
+    offs = np.cumsum([0] + list(widths))
+
+    def split(Wcat):
+        return tuple(Wcat[..., offs[i]:offs[i + 1]]
+                     for i in range(len(widths)))
+
+    def fn(Wo, Wn, ho, hn):
+        return face_fn(split(Wo), split(Wn), ho, hn)
+
+    return fn
+
+
 def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
                           n_out: int, signed_mask):
     """Structured 2:1 interface contributions as a cell-grid array.
@@ -175,10 +204,19 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
     plus side, - on its minus side); others accumulate unsigned. The result
     is already divided by the accumulating cell's spacing.
     """
+    parts = _parts(W3)
+    if isinstance(W3, (tuple, list)):
+        face_fn = _cat_fn(face_fn, [p.shape[-1] for p in parts])
     bs, nd = bt.block_size, bt.nd
     n_fine = 2 ** (nd - 1)
-    signed = jnp.asarray(signed_mask, dtype=W3.dtype)
+    signed = jnp.asarray(signed_mask, dtype=parts[0].dtype)
     ax = _axis(bt, d)
+
+    def edge_cat(s):
+        # channel-concat of the parts' edge planes (1/bs of the grid —
+        # cheap, unlike concatenating the full grids)
+        es = [_edge(bt, p, d, s) for p in parts]
+        return es[0] if len(es) == 1 else jnp.concatenate(es, axis=-1)
 
     def place(vals, inv):
         # inverse-permutation gather: each block appears at most once per
@@ -198,8 +236,8 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
     cols = [None, None]
     for s in (0, 1):
         sgn = jnp.where(signed > 0, 1.0 if s == 1 else -1.0, 1.0)
-        edge_s = _edge(bt, W3, d, s)
-        edge_o = _edge(bt, W3, d, 1 - s)
+        edge_s = edge_cat(s)
+        edge_o = edge_cat(1 - s)
         pieces = []
 
         fsb = bt.fs_block[d][s]
@@ -242,39 +280,26 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
     return cols
 
 
-def add_edge_cols(bt: BlockTables, grid, cols, d: int):
-    """grid [B, ..., (k)] + per-side edge columns, via ONE concatenation
-    pass (int-indexed .at updates lower to per-row scatters on TPU).
-
-    cols: (col0, col1), each [B, n_side, k] / [B, n_side] or None.
-    """
-    if cols is None:
-        return grid
-    ax = _axis(bt, d)
-    bs = bt.block_size
-    first = jax.lax.slice_in_dim(grid, 0, 1, axis=ax)
-    mid = jax.lax.slice_in_dim(grid, 1, bs - 1, axis=ax)
-    last = jax.lax.slice_in_dim(grid, bs - 1, bs, axis=ax)
-    if cols[0] is not None:
-        first = first + jnp.expand_dims(cols[0], ax)
-    if cols[1] is not None:
-        last = last + jnp.expand_dims(cols[1], ax)
-    return jnp.concatenate([first, mid, last], axis=ax)
-
-
-def _col_slice(cols, sl):
-    if cols is None:
-        return None
-    return tuple(None if c is None else c[..., sl] for c in cols)
-
-
-def _sparse_accum(bt: BlockTables, d: int, W_flat, face_fn: Callable,
+def _sparse_accum(bt: BlockTables, d: int, W, face_fn: Callable,
                   n_out: int, signed_mask, o, n, wr, wl):
     """Sparse face accumulation: gather (owner, neighbor) rows, evaluate
     ``face_fn``, scatter-add with per-face weights (wr to the owner, wl to
-    the neighbor with the signed flip), divide by the cell spacing."""
-    Wo = jnp.take(W_flat, o, axis=0)
-    Wn = jnp.take(W_flat, n, axis=0)
+    the neighbor with the signed flip), divide by the cell spacing.
+
+    ``W``: one flat [n_cells, K] array, or a tuple of channel-part grids
+    (gathered per part and row-concatenated — never concatenating the full
+    grids)."""
+    parts = _parts(W)
+    flats = [p.reshape(bt.n_cells, -1) for p in parts]
+    if isinstance(W, (tuple, list)):
+        face_fn = _cat_fn(face_fn, [f.shape[-1] for f in flats])
+
+    def gather(idx):
+        rows = [jnp.take(f, idx, axis=0) for f in flats]
+        return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=-1)
+
+    Wo = gather(o)
+    Wn = gather(n)
     sp = bt.spacing_flat[:, d]
     ho = jnp.take(sp, o, axis=0)[:, None]
     hn = jnp.take(sp, n, axis=0)[:, None]
@@ -301,28 +326,80 @@ def face_accumulate(bt: BlockTables, d: int, W3, face_fn: Callable,
     cells along dim ``d`` — the reusable shape of the RHS passes.
 
     ``face_fn(W_owner, W_neighbor, h_owner, h_neighbor) -> [..., n_out]``
-    computes face values from the packed cell channels ``W3`` ([B, bs..,
-    K]); columns flagged in ``signed_mask`` accumulate (right - left)/h
-    (signed divergence), others (right + left)/h (unsigned). Handles dense
-    faces, structured 2:1 interfaces and the generic sparse leftover —
-    identical coverage to the Euler passes.
+    computes face values from the cell channels ``W3`` — one [B, bs.., K]
+    grid, or a TUPLE of channel-part grids (face_fn then receives tuples;
+    the parts are never concatenated at grid size). Columns flagged in
+    ``signed_mask`` accumulate (right - left)/h (signed divergence),
+    others (right + left)/h (unsigned). Handles dense faces, structured
+    2:1 interfaces and the generic sparse leftover — identical coverage to
+    the Euler passes.
+
+    Face values are evaluated TWICE per interior face (once as each cell's
+    plus/minus side) on rolled views, with block-edge faces patched in as
+    broadcast columns. That trades cheap VPU re-evaluation for never
+    materializing the (bs+1)-wide padded operand and face arrays — the
+    dominant HBM traffic of the straightforward pad -> face -> green-gauss
+    chain (measured ~46% of the 3D step in data movement).
     """
-    Wp = pad_dim(bt, W3, d)
-    Wo, Wn = face_lr(bt, Wp, d)
-    h = _h_bcast(bt, d, 1)
-    vals = face_fn(Wo, Wn, h, h) * face_mask(bt, d, 1)
+    parts = _parts(W3)
+    tup = isinstance(W3, (tuple, list))
+    fn = face_fn if tup else (
+        lambda Wo, Wn, ho, hn: face_fn(Wo[0], Wn[0], ho, hn))
+
     ax = _axis(bt, d)
     bs = bt.block_size
-    plus = jax.lax.slice_in_dim(vals, 1, bs + 1, axis=ax)
-    minus = jax.lax.slice_in_dim(vals, 0, bs, axis=ax)
-    sgn = jnp.where(jnp.asarray(signed_mask, vals.dtype) > 0, -1.0, 1.0)
-    out = (plus + sgn * minus) / _h_bcast(bt, d, 1)
+    h = _h_bcast(bt, d, 1)
+    lo = tuple(jnp.roll(p, 1, axis=ax) for p in parts)
+    F_minus = fn(lo, parts, h, h)       # face (i-1, i); garbage at i = 0
+    # face (i, i+1) is the same face array shifted by one cell — one flux
+    # evaluation per face, not two
+    F_plus = jnp.roll(F_minus, -1, axis=ax)
+
+    # block-edge faces: halo columns (dense neighbor edge planes; own edge
+    # mirrored on one-sided boundary sides; invalid sides masked to zero —
+    # the 2:1 corrections below add the real thing)
+    def bmask(v, like):
+        return v.reshape((bt.n_blocks,) + (1,) * (like.ndim - 1))
+
+    firsts, lasts, halos_l, halos_r = [], [], [], []
+    for p in parts:
+        first = jax.lax.slice_in_dim(p, 0, 1, axis=ax)
+        last = jax.lax.slice_in_dim(p, bs - 1, bs, axis=ax)
+        hl = _btake_rows(bt, last, bt.nbr[d][0])
+        hl = jnp.where(bmask(bt.bnd[d][0], p) > 0, first, hl)
+        hr = _btake_rows(bt, first, bt.nbr[d][1])
+        hr = jnp.where(bmask(bt.bnd[d][1], p) > 0, last, hr)
+        firsts.append(first)
+        lasts.append(last)
+        halos_l.append(hl)
+        halos_r.append(hr)
+    n_trail = F_minus.ndim - 1 - bt.nd
+    mask_l = bt.edge_valid[d][0].reshape(
+        (bt.n_blocks,) + (1,) * (bt.nd + n_trail))
+    mask_r = bt.edge_valid[d][1].reshape(mask_l.shape)
+    lo_face = fn(tuple(halos_l), tuple(firsts), h, h) * mask_l
+    hi_face = fn(tuple(lasts), tuple(halos_r), h, h) * mask_r
+
+    ishape = [1] * F_minus.ndim
+    ishape[ax] = bs
+    iota = jax.lax.broadcasted_iota(jnp.int32, tuple(ishape), ax)
+    Fm = jnp.where(iota == 0, lo_face, F_minus)
+    Fp = jnp.where(iota == bs - 1, hi_face, F_plus)
+    sgn = jnp.where(jnp.asarray(signed_mask, F_minus.dtype) > 0, -1.0, 1.0)
+    out = (Fp + sgn * Fm) / h
 
     cols = interface_corrections(bt, d, W3, face_fn, n_out, signed_mask)
-    out = add_edge_cols(bt, out, cols, d)
+    if cols is not None:
+        if cols[0] is not None:
+            out = out + jnp.where(
+                iota == 0, jnp.expand_dims(cols[0], ax), 0.0)
+        if cols[1] is not None:
+            out = out + jnp.where(
+                iota == bs - 1, jnp.expand_dims(cols[1], ax), 0.0)
     if bt.sp_owner[d].shape[0]:
-        W_flat = W3.reshape(bt.n_cells, W3.shape[-1])
-        gs = _generic_sparse(bt, d, W_flat, face_fn, n_out, signed_mask)
+        gs = _generic_sparse(bt, d, W3 if tup else
+                             W3.reshape(bt.n_cells, W3.shape[-1]),
+                             face_fn, n_out, signed_mask)
         out = out + gs.reshape(out.shape)
     return out
 
@@ -397,13 +474,12 @@ def euler_rhs_grid(
     signedA = [1.0] * (ncomp + 1) + [0.0] * (2 if with_dt else 1)
 
     def face_A(Wo, Wn, ho, hn):
-        Po, Pn = Wo[..., :ncomp], Wn[..., :ncomp]
+        Po, Pn = Wo[0], Wn[0]
         Pf = (Po * hn + Pn * ho) / (ho + hn)
         fd = Pn[..., 0:1] - Po[..., 0:1]
         out = [Pf, fd, jnp.abs(fd)]
         if with_dt:
-            So = Wo[..., ncomp:ncomp + 1]
-            Sn = Wn[..., ncomp:ncomp + 1]
+            So, Sn = Wo[1], Wn[1]
             out.append((So * hn + Sn * ho) / (ho + hn))
         return jnp.concatenate(out, axis=-1)
 
@@ -414,73 +490,34 @@ def euler_rhs_grid(
     if frozen is not None:
         du_grids, nu3 = frozen
     for d in range(nd if frozen is None else 0):
-        if with_dt:
-            W3 = jnp.concatenate([P3, S3[..., d:d + 1]], axis=-1)
-        else:
-            W3 = P3
-        Wp = pad_dim(bt, W3, d)
-        Wo, Wn = face_lr(bt, Wp, d)
-        m = face_mask(bt, d, 1)
-        Pf = 0.5 * (Wo[..., :ncomp] + Wn[..., :ncomp]) * m
-        fd = (Wn[..., 0:1] - Wo[..., 0:1]) * m
-        if with_dt:
-            sf = 0.5 * (Wo[..., ncomp:] + Wn[..., ncomp:]) * m
-
-        du3 = gg_dense(bt, Pf, d)
-        G3 = gg_dense(bt, fd, d)[..., 0]
-        U3 = ugg_dense(bt, jnp.abs(fd), d)[..., 0]
-
-        # structured 2:1 interface corrections land directly on the edge
-        # columns of the dense results (one concat pass per quantity)
-        cols = interface_corrections(bt, d, W3, face_A, nA, signedA)
-        du3 = add_edge_cols(bt, du3, _col_slice(cols, slice(0, ncomp)), d)
-        G3 = add_edge_cols(bt, G3, _col_slice(cols, ncomp), d)
-        U3 = add_edge_cols(bt, U3, _col_slice(cols, ncomp + 1), d)
-
-        if bt.sp_owner[d].shape[0]:
-            P = P3.reshape(bt.n_cells, ncomp)
-            if with_dt:
-                W_flat = jnp.concatenate(
-                    [P, S3[..., d].reshape(bt.n_cells)[:, None]], axis=1)
-            else:
-                W_flat = P
-            gs = _generic_sparse(bt, d, W_flat, face_A, nA, signedA)
-            du3 = du3 + gs[:, :ncomp].reshape(grid_shape + (ncomp,))
-            G3 = G3 + gs[:, ncomp].reshape(grid_shape)
-            U3 = U3 + gs[:, ncomp + 1].reshape(grid_shape)
-        du_grids.append(du3)
+        partsA = (P3, S3[..., d:d + 1]) if with_dt else (P3,)
+        outA = face_accumulate(bt, d, partsA, face_A, nA, signedA)
+        du_grids.append(outA[..., :ncomp])
+        G3 = outA[..., ncomp]
+        U3 = outA[..., ncomp + 1]
         nu3 = jnp.maximum(
             nu3, ((1e-7 + jnp.abs(G3)) / (1e-7 + U3))[..., None])
-
         if with_dt:
-            dtb3 = add_edge_cols(
-                bt, ugg_dense(bt, sf, d)[..., 0],
-                _col_slice(cols, ncomp + 2), d,
-            )
-            if bt.sp_owner[d].shape[0]:
-                dtb3 = dtb3 + gs[:, ncomp + 2].reshape(grid_shape)
-            dt_bound = dt_bound + dtb3
+            dt_bound = dt_bound + outA[..., ncomp + 2]
 
     # ---------------- pass B: MUSCL + HLL + divergence ---------------------
     signedB = [1.0] * ncomp
     has_fix = fix3 is not None
     has_mut = viscous and mu_t3 is not None
-    fix_at = 2 * ncomp + 1                      # channel offsets in W
-    visc_at = fix_at + (1 if has_fix else 0)
 
     R3 = jnp.zeros_like(P3)
     for d in range(nd):
         du3 = du_grids[d]
 
         def face_B(Wo, Wn, ho, hn, d=d):
-            Po, Pn = Wo[..., :ncomp], Wn[..., :ncomp]
-            duo = Wo[..., ncomp:2 * ncomp]
-            dun = Wn[..., ncomp:2 * ncomp]
-            Do = Wo[..., 2 * ncomp:2 * ncomp + 1]
-            Dn = Wn[..., 2 * ncomp:2 * ncomp + 1]
-            fo = (jnp.maximum(Wo[..., fix_at:fix_at + 1],
-                              Wn[..., fix_at:fix_at + 1])
-                  if has_fix else None)
+            Po, Pn = Wo[0], Wn[0]
+            duo, dun = Wo[1], Wn[1]
+            Do, Dn = Wo[2], Wn[2]
+            k = 3
+            fo = None
+            if has_fix:
+                fo = jnp.maximum(Wo[k], Wn[k])
+                k += 1
             down, dneigh = ho / 2, hn / 2
             grad_f = (Pn - Po) / (down + dneigh)
             slope_o = (2 * duo - grad_f) * down
@@ -509,20 +546,18 @@ def euler_rhs_grid(
 
                 Pf = at_f(Po, Pn)
                 gf = []
-                off = visc_at
+                kk = k
                 for i in range(nd):
                     if i == d:
                         gf.append(grad_f)
                     else:
-                        gf.append(at_f(Wo[..., off:off + ncomp],
-                                       Wn[..., off:off + ncomp]))
-                        off += ncomp
+                        gf.append(at_f(Wo[kk], Wn[kk]))
+                        kk += 1
                 mu_t_f = 0.0
                 if has_mut:
-                    mu_t_f = at_f(Wo[..., off:off + 1],
-                                  Wn[..., off:off + 1])[..., 0]
+                    mu_t_f = at_f(Wo[kk], Wn[kk])[..., 0]
                 F = F - viscous_fluxes(fluid, Pf, gf, d, mu_t=mu_t_f)
-            return F
+            return -F      # accumulate R += -divergence(F) directly
 
         Vparts = [P3, du3, nu3]
         if has_fix:
@@ -531,32 +566,19 @@ def euler_rhs_grid(
             Vparts.extend(du_grids[i] for i in range(nd) if i != d)
             if has_mut:
                 Vparts.append(mu_t3)
-        V3 = jnp.concatenate(Vparts, axis=-1)
-        Vp = pad_dim(bt, V3, d)
-        Vo, Vn = face_lr(bt, Vp, d)
-        h = _h_bcast(bt, d, 1)
-        F = face_B(Vo, Vn, h, h) * face_mask(bt, d, 1)
-        R_dense = -gg_dense(bt, F, d)
-
-        cols = interface_corrections(bt, d, V3, face_B, ncomp, signedB)
-        if cols is not None:
-            cols = tuple(None if c is None else -c for c in cols)
-        R3 = R3 + add_edge_cols(bt, R_dense, cols, d)
-        if bt.sp_owner[d].shape[0]:
-            W_flat = V3.reshape(bt.n_cells, V3.shape[-1])
-            gs = _generic_sparse(bt, d, W_flat, face_B, ncomp, signedB)
-            R3 = R3 - gs.reshape(grid_shape + (ncomp,))
+        Vparts = tuple(Vparts)
+        R3 = R3 + face_accumulate(bt, d, Vparts, face_B, ncomp, signedB)
         if cut3 is not None and cut3["owner"][d].shape[0]:
             # remove the solid-covered fraction (1 - aperture) of the cut
-            # faces' dense fluxes: +w F/h to the owner, -w F/h to the
-            # neighbor exactly cancels that fraction of the dense -gg(F);
-            # hypercube one-sided cut faces carry the weight on one side
-            # only (owner == neighbor == the real cell there)
-            W_flat = V3.reshape(bt.n_cells, V3.shape[-1])
-            rem = _sparse_accum(bt, d, W_flat, face_B, ncomp, signedB,
+            # faces' dense fluxes: since face_B returns -F, the signed
+            # sparse accumulation with +w on the owner and -w on the
+            # neighbor cancels exactly that fraction of the accumulated
+            # -gg(F); hypercube one-sided cut faces carry the weight on
+            # one side only (owner == neighbor == the real cell there)
+            rem = _sparse_accum(bt, d, Vparts, face_B, ncomp, signedB,
                                 cut3["owner"][d], cut3["neighbor"][d],
                                 cut3["wr"][d], cut3["wl"][d])
-            R3 = R3 + rem.reshape(grid_shape + (ncomp,))
+            R3 = R3 - rem.reshape(grid_shape + (ncomp,))
 
     if cut3 is not None:
         wc = cut3["wall_cells"]

@@ -34,10 +34,15 @@ def main():
             chunk = int(v)
         elif k in ("block_size",):
             kw[k] = int(v)
-        elif k in ("scheme",):
+        elif k in ("scheme", "seed_npz"):
             kw[k] = v
         else:
             kw[k] = float(v)
+    seed_npz = kw.pop("seed_npz", None)
+    seed_kw = {k[5:]: kw.pop(k) for k in list(kw)
+               if k.startswith("seed_") and k != "seed_npz"}
+    if "block_size" in seed_kw:
+        seed_kw["block_size"] = int(seed_kw["block_size"])
     kw.setdefault("feature_h", kw.get("wall_h", 1e-2) / 2)
     t0 = time.time()
     case = build_rae2822(**kw)
@@ -54,6 +59,25 @@ def main():
     fluid_mask = ~inside
 
     P = case.P0
+    if seed_npz is not None:
+        # grid sequencing: IDW-transfer a saved coarser-level state onto
+        # this mesh (impulsive freestream starts at wall_h <= 1e-3 blow up
+        # in the startup transient for every wall treatment)
+        from ibx.solve.interp_util import idw_interpolator
+        from ibx.ops.stencil import apply_stencil
+        seed_kw.setdefault("feature_h", seed_kw.get("wall_h", 1e-2) / 2)
+        seed_case = build_rae2822(**seed_kw)
+        Ps = np.load(seed_npz)["P"]
+        st = jax.device_put(idw_interpolator(
+            seed_case.dom.centers, case.dom.centers))
+        P = case.apply_bcs(apply_stencil(st, jax.numpy.asarray(Ps)))
+        del seed_case, st
+        # relax off the transfer's wall-crossing discontinuities with the
+        # positivity-safe first-order + Einfeldt march (make_cp_oracle.py
+        # startup recipe) before the accurate scheme
+        P = case.march_robust(P, 2000)
+        jax.block_until_ready(P)
+        print(f"[{tag}] seeded from {seed_npz} via {seed_kw}", flush=True)
     p_inf = float(case.P_inf[0])
     t0 = time.time()
     for i in range(steps // chunk):
