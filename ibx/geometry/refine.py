@@ -171,8 +171,14 @@ def project_on_segments(seg: np.ndarray, pts: np.ndarray) -> np.ndarray:
     p0 = seg[:, 0]
     u = seg[:, 1] - p0
     uu = (u * u).sum(1)
-    xi = ((pts - p0) * u).sum(1) / (uu + _EPS32)
-    xi = np.clip(xi, 0.0, 1.0)
+    # guard the zero-length case by masking, NOT by adding an epsilon to
+    # the denominator: uu ~ L^2 is 3.5e-8 for the 1.9e-4-long segments of a
+    # wall_h=5e-4 airfoil polyline, so `uu + eps32` dragged every interior
+    # foot point ~4x toward p0 — vertex-snapped projections and +-25 deg
+    # ghost-normal noise that grew under wall refinement (the round-3
+    # "fine-mesh accuracy floor" was mostly this bug)
+    xi = ((pts - p0) * u).sum(1) / np.where(uu > 0.0, uu, 1.0)
+    xi = np.clip(np.where(uu > 0.0, xi, 0.0), 0.0, 1.0)
     return p0 + u * xi[:, None]
 
 
@@ -194,10 +200,16 @@ def project_on_triangles(tri: np.ndarray, pts: np.ndarray) -> np.ndarray:
     c = (e2 * e2).sum(1)
     d1 = (w * e1).sum(1)
     d2 = (w * e2).sum(1)
-    det = a * c - b * b + _EPS32
-    s = (c * d1 - b * d2) / det
-    t = (a * d2 - b * d1) / det
-    interior = (s >= -_EPS32) & (t >= -_EPS32) & (s + t <= 1.0 + _EPS32)
+    # degeneracy must be judged RELATIVE to the triangle scale: det ~ L^4
+    # is ~1e-14 for 3e-4-sized triangles, so `det + eps32` obliterated the
+    # true determinant on fine meshes (projections collapsed to the p0
+    # corner). Degenerate (sliver) triangles fall through to the edge path.
+    det = a * c - b * b
+    good = det > 1e-12 * a * c
+    det_safe = np.where(good, det, 1.0)
+    s = (c * d1 - b * d2) / det_safe
+    t = (a * d2 - b * d1) / det_safe
+    interior = good & (s >= -_EPS32) & (t >= -_EPS32) & (s + t <= 1.0 + _EPS32)
     proj_in = p0 + e1 * s[:, None] + e2 * t[:, None]
 
     # edge candidates

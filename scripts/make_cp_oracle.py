@@ -21,15 +21,20 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
 CONFIGS = {
     "coarse": dict(wall_h=2e-2, feature_h=1e-2, steps=20000),
     "medium": dict(wall_h=1e-2, feature_h=5e-3, steps=30000),
-    # round 3: the "fine" oracle level is the finest level at which the
-    # reference scheme family still CONVERGES (steady, Cl=0.7777 at
-    # 120k steps). Below it the staircase-wall pseudo-boundary-layer
-    # collapses the lift (BASELINE.md round-3 study: 0.655 at 2.5e-3,
-    # decaying past 0.51 at 5e-4) — marches there are STABLE (the round-2
-    # crash was fixed) but not accurate. block_size=8 dodges a
-    # [580,16,16,C]-shape TPU backend fault (same study).
+    # block_size=8 below 5e-3 dodges a [580,16,16,C]-shape TPU backend
+    # fault (BASELINE.md round-3 study).
     "fine": dict(wall_h=5e-3, feature_h=2.5e-3, steps=120000,
                  block_size=8, cfl=0.7),
+    # levels below 5e-3 became reachable after the round-3 projection fix
+    # (geometry/refine.py: the f32-epsilon denominators vertex-snapped
+    # fine-mesh ghost projections — the former "accuracy floor" at
+    # wall_h < 5e-3 was +-25 deg ghost-normal noise, not the scheme).
+    # Seed from the previous level (IBX_ORACLE_SEED) to skip the O(100k)
+    # freestream transient.
+    "xfine": dict(wall_h=2.5e-3, feature_h=1.25e-3, steps=60000,
+                  block_size=8, cfl=0.7),
+    "flagship": dict(wall_h=5e-4, feature_h=2.5e-4, steps=40000,
+                     block_size=16, cfl=0.7),
 }
 
 # late-march Cp snapshots to quantify the shock limit cycle (phase spread)
@@ -73,10 +78,19 @@ def main():
             scfg.setdefault("cfl", 0.7)
             t1 = time.time()
             seed_case = build_rae2822(**scfg)
-            Ps = seed_case.P0
-            for _ in range(s_steps // 2000):
-                Ps = seed_case.march(Ps, 2000)
-                jax.block_until_ready(Ps)
+            s_state = f"/tmp/rae2822_state_{seed}.npz"
+            if os.path.exists(s_state):
+                # reuse the seed level's converged state (written by its
+                # own oracle run earlier in the queue)
+                Ps = seed_case.apply_bcs(jax.numpy.asarray(
+                    np.load(s_state)["P"]))
+                print(f"[{tag}] seed state loaded from {s_state}",
+                      flush=True)
+            else:
+                Ps = seed_case.P0
+                for _ in range(s_steps // 2000):
+                    Ps = seed_case.march(Ps, 2000)
+                    jax.block_until_ready(Ps)
             cl_s, cd_s = force_coefficients(seed_case, np.asarray(Ps))
             print(f"[{tag}] seed {seed} converged: Cl={cl_s:.4f} "
                   f"Cd={cd_s:.5f} ({time.time()-t1:.0f}s)", flush=True)
@@ -95,13 +109,27 @@ def main():
         cl_hist = []
         t0 = time.time()
         chunk = 2000
-        for i in range(steps // chunk):
+        partial = f"/tmp/rae2822_partial_{tag}.npz"
+        i0 = 0
+        if os.path.exists(partial):
+            d = np.load(partial)
+            P = case.apply_bcs(jax.numpy.asarray(d["P"]))
+            i0 = int(d["i"])
+            cl_hist = [tuple(r) for r in d["cl_hist"]]
+            print(f"[{tag}] resumed partial at chunk {i0}", flush=True)
+        for i in range(i0, steps // chunk):
+            # the TPU relay sporadically kills dispatches ("TPU device
+            # error", transient per CLAUDE.md); checkpoint every 5 chunks
+            # so a wrapper can relaunch and resume
             P = case.march(P, chunk)
             jax.block_until_ready(P)
             cl, cd = force_coefficients(case, np.asarray(P))
             cl_hist.append((cl, cd))
             print(f"[{tag}] step {(i+1)*chunk}: Cl={cl:.4f} Cd={cd:.5f}",
                   flush=True)
+            if (i + 1) % 5 == 0:
+                np.savez(partial, P=np.asarray(P), i=i + 1,
+                         cl_hist=np.asarray(cl_hist, np.float32))
         # limit-cycle phase sweep
         cp_phases = []
         for _ in range(N_PHASE):
@@ -113,6 +141,8 @@ def main():
         Pn = np.asarray(P)
         assert np.isfinite(Pn).all()
         np.savez(f"/tmp/rae2822_state_{tag}.npz", P=Pn)   # restart file
+        if os.path.exists(partial):
+            os.remove(partial)
         cp = wall_cp(case, Pn)
         surf = case.dom.surfaces["wall"]
         cl, cd = force_coefficients(case, Pn)

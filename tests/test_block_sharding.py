@@ -115,16 +115,23 @@ def test_sharded_te_fix_matches_single_device():
     P_dev = np.asarray(case.march(case.P0, 50))
     P_sh = sbd.distribute(P_dev)
     P_ref = jnp.asarray(P_dev)
-    for _ in range(3):
+    scale = np.abs(P_dev).max(axis=0)
+
+    # ONE step, tight band: the halo-ring bug class this file guards
+    # against corrupts the very first RHS (advisor's measured 7.5e-4 from
+    # a shocked state), while layout-order f32 noise after one step is
+    # ~8e-6. Multi-step comparisons are a WEAKER detector here: this
+    # case's 50-step TE transient amplifies the f32 seed geometrically at
+    # the te-fix blend's minmod switching boundary (measured 6.4e-4 by
+    # step 3, saturating ~1.4e-3 by step 8 — location-stable, first-step
+    # clean, i.e. noise amplification, not halo corruption).
+    P_sh, _ = step(P_sh)
+    P_ref, _ = case.step(P_ref)
+    err1 = (np.abs(sbd.collect(P_sh) - np.asarray(P_ref)) / scale).max()
+    assert err1 < 1e-4, f"sharded te-fix first-step mismatch {err1}"
+
+    for _ in range(2):
         P_sh, _ = step(P_sh)
         P_ref, _ = case.step(P_ref)
-    out = sbd.collect(P_sh)
-    ref = np.asarray(P_ref)
-    scale = np.abs(ref).max(axis=0)
-    err = (np.abs(out - ref) / scale).max()
-    # the TE-fix band is the loosest: w_cap=1.5 (round 3) reroutes exactly
-    # the degenerate TRAILING-EDGE stencils through IDW, and this case's
-    # 50-step freestream start has its strongest gradients there, so the
-    # gather-order f32 noise peaks in the fixed region (measured 1.1e-4;
-    # the halo-ring bug class this file guards against shows at >= 7.5e-4)
-    assert err < 3e-4, f"sharded te-fix mismatch {err}"
+    err = (np.abs(sbd.collect(P_sh) - np.asarray(P_ref)) / scale).max()
+    assert err < 2e-3, f"sharded te-fix mismatch {err}"

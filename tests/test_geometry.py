@@ -89,6 +89,36 @@ def test_distance_field_projection_exact():
     np.testing.assert_allclose(proj[1], [1.0, 0.5], atol=1e-5)
 
 
+def test_projection_exact_at_fine_scales():
+    # regression: an absolute epsilon in the segment/triangle projection
+    # denominators (uu ~ L^2, det ~ L^4) dominated at L <~ 5e-4 and
+    # vertex-snapped every foot point — +-25 deg ghost-normal noise that
+    # grew under wall refinement (the round-3 "fine-mesh accuracy floor").
+    from ibx.geometry.refine import project_on_segments, project_on_triangles
+
+    L = 2e-4
+    # point above the 40% station of a tiny horizontal segment
+    seg = np.array([[[0.3, -0.05], [0.3 + L, -0.05]]])
+    p = np.array([[0.3 + 0.4 * L, -0.05 + 0.8 * L]])
+    q = project_on_segments(seg, p)
+    np.testing.assert_allclose(q, [[0.3 + 0.4 * L, -0.05]], rtol=0, atol=1e-9)
+
+    # interior projection onto a tiny 3D triangle (det ~ L^4 ~ 1.6e-15)
+    tri = np.array([[[0.0, 0.0, 0.0], [L, 0.0, 0.0], [0.0, L, 0.0]]])
+    p3 = np.array([[0.25 * L, 0.25 * L, 0.5 * L]])
+    q3 = project_on_triangles(tri, p3)
+    np.testing.assert_allclose(
+        q3, [[0.25 * L, 0.25 * L, 0.0]], rtol=0, atol=1e-9)
+
+    # degenerate (zero-length) segment and sliver triangle stay finite
+    seg0 = np.array([[[1.0, 1.0], [1.0, 1.0]]])
+    q0 = project_on_segments(seg0, np.array([[2.0, 1.0]]))
+    np.testing.assert_allclose(q0, [[1.0, 1.0]])
+    sliver = np.array([[[0.0, 0.0, 0.0], [L, 0.0, 0.0], [2 * L, 0.0, 0.0]]])
+    qs = project_on_triangles(sliver, np.array([[L, L, 0.0]]))
+    np.testing.assert_allclose(qs, [[L, 0.0, 0.0]], rtol=0, atol=1e-9)
+
+
 def test_feature_regions_sharp_corner():
     # L-shaped open polyline: the corner simplices are features
     pts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
