@@ -172,6 +172,7 @@ def _build_host_boundary(
     ghost_ratio: float,
     exclude_cells: Optional[np.ndarray] = None,
     reflect_solid: bool = False,
+    axis_stencils: bool = False,
 ) -> HostBoundary:
     """Ghost geometry + image-point stencils
     (reference ``src/ImmersedBoundary.jl:422-448``).
@@ -221,6 +222,72 @@ def _build_host_boundary(
         ins_g = exclude_cells[ghosts]
         normals = np.where(ins_g[:, None], -normals, normals)
     images = projs + normals * image_d[:, None]
+    if axis_stencils and ghosts.size:
+        # hypercube-family image stencils: the normal is an EXACT unit
+        # axis vector and the image point sits on the ghost's own cell
+        # column, so exact linear interpolation needs only the two
+        # straddling column cells. (The generic kNN fit adds tie-broken
+        # lateral cells whose near-zero weights differ per column; the
+        # 2-point form is bit-identical across a face's columns — the
+        # stencil-dedup/dense-plane BC fast paths key on that — and
+        # halves the farfield gather rows. Flagged deviation from the
+        # reference's uniform kNN interpolator, src/ImmersedBoundary.jl:
+        # 422-448; both are exact on linear fields.)
+        d_axis = np.abs(normals).argmax(axis=1)
+        _, knn = tree.query(images, k=2, workers=-1)
+        c0 = centers[knn[:, 0]]
+        c1 = centers[knn[:, 1]]
+        h_g = widths[ghosts].max(axis=1)
+        ar = np.arange(ghosts.size)
+        lat_ok = np.ones(ghosts.size, bool)
+        for dd in range(centers.shape[1]):
+            ld = dd != d_axis
+            lat_ok &= np.where(
+                ld,
+                (np.abs(c0[:, dd] - images[:, dd]) < 0.05 * h_g)
+                & (np.abs(c1[:, dd] - images[:, dd]) < 0.05 * h_g),
+                True,
+            )
+        a0 = c0[ar, d_axis]
+        a1 = c1[ar, d_axis]
+        sep_ok = np.abs(a1 - a0) > 0.5 * h_g
+        t = (images[ar, d_axis] - a0) / np.where(sep_ok, a1 - a0, 1.0)
+        ok = lat_ok & sep_ok & (t > -0.1) & (t < 1.1)
+        idx2 = np.stack([knn[:, 0], knn[:, 1]], axis=1).astype(np.int64)
+        w2 = np.stack([1.0 - t, t], axis=1).astype(np.float32)
+        if ok.all():
+            return HostBoundary(
+                ghosts=ghosts.astype(np.int64),
+                projections=projs.astype(np.float32),
+                normals=normals.astype(np.float32),
+                image_distances=image_d,
+                ghost_distances=gd,
+                interp_idx=idx2,
+                interp_w=w2,
+            )
+        # mixed: kNN-fit the non-conforming ghosts (refinement
+        # transitions along the outer box), keep the axis pairs elsewhere
+        st = interpolator(centers, images[~ok], tree, linear=True,
+                          w_cap=1.5)
+        K = max(2, np.asarray(st.idx).shape[1])
+        idx_f = np.zeros((ghosts.size, K), np.int64)
+        w_f = np.zeros((ghosts.size, K), np.float32)
+        idx_f[ok, :2] = idx2[ok]
+        idx_f[ok, 2:] = idx2[ok, :1]
+        w_f[ok, :2] = w2[ok]
+        ki = np.asarray(st.idx, np.int64)
+        idx_f[~ok, :ki.shape[1]] = ki
+        idx_f[~ok, ki.shape[1]:] = ki[:, :1]
+        w_f[~ok, :ki.shape[1]] = np.asarray(st.w, np.float32)
+        return HostBoundary(
+            ghosts=ghosts.astype(np.int64),
+            projections=projs.astype(np.float32),
+            normals=normals.astype(np.float32),
+            image_distances=image_d,
+            ghost_distances=gd,
+            interp_idx=idx_f,
+            interp_w=w_f,
+        )
     if exclude_cells is not None and exclude_cells.any():
         src = np.nonzero(~exclude_cells)[0]
         st = interpolator(centers[src], images, linear=True, w_cap=1.5)
@@ -384,7 +451,8 @@ class Domain(DomainExecutionMixin):
                 ghost_layer_ratio=ghost_layer_ratio,
             )
             self._host_boundaries[bname] = _build_host_boundary(
-                centers, widths, tree, ghosts, projs, ghost_layer_ratio
+                centers, widths, tree, ghosts, projs, ghost_layer_ratio,
+                axis_stencils=True,
             )
             self._stage(f"boundary[{bname}]", f"{ghosts.size} ghosts")
 

@@ -99,13 +99,24 @@ def main():
             P = case.apply_bcs(apply_stencil(st, jax.numpy.asarray(Ps)))
             del seed_case, Ps
             # the transfer leaves wall-crossing discontinuities that the
-            # fine cells amplify (runaway to the velocity cap by ~step
-            # 300); relax them off with the positivity-safe first-order +
-            # Einfeldt march before switching to the accurate scheme
-            P = case.march_robust(P, 2000)
+            # fine cells amplify; relax them off before the accurate march.
+            # Default: the positivity-safe first-order+Einfeldt march.
+            # IBX_ORACLE_SOFT_START: low-CFL relax with the NORMAL scheme
+            # instead — the march_robust program deterministically faults
+            # the TPU backend at the xfine [1741,8,8,C] block-grid shape
+            # (3/3, same opaque relay 'kernel fault' class as the
+            # documented [580,16,16,C] case; the normal march at the
+            # SAME shape is fine)
+            soft = os.environ.get("IBX_ORACLE_SOFT_START")
+            if soft:
+                soft_case = build_rae2822(**dict(cfg, cfl=float(soft)))
+                P = soft_case.march(P, 2000)
+                del soft_case
+            else:
+                P = case.march_robust(P, 2000)
             jax.block_until_ready(P)
             cl_r, cd_r = force_coefficients(case, np.asarray(P))
-            print(f"[{tag}] robust startup done: Cl={cl_r:.4f}", flush=True)
+            print(f"[{tag}] startup relax done: Cl={cl_r:.4f}", flush=True)
         cl_hist = []
         t0 = time.time()
         chunk = 2000

@@ -17,11 +17,19 @@ def test_blocked_bc_matches_fused():
     fb = dom.fused_boundary(["farfield", "wall"])
     bbc = build_blocked_bc(dom, ["farfield", "wall"])
     G = int(fb.ghost.shape[0])
-    assert bbc.ghosts.shape[0] == G
-    # stencil dedup: unique stencils strictly fewer than ghosts (hypercube
-    # ghost columns share image points), and every ghost maps to one
-    assert bbc.n_patch + bbc.n_fb < G
-    assert bbc.g2u.shape[0] == G
+    # conforming hypercube ghosts go through the dense-plane path; the
+    # general tables hold the rest (wall + non-conforming farfield)
+    Gg = int(bbc.ghosts.shape[0])
+    Gd = int(sum(np.asarray(m).sum() for m in bbc.dense_mask))
+    assert Gg + Gd == G, (Gg, Gd, G)
+    assert len(bbc.dense_spec) > 0, "dense farfield path unused"
+    Gf = int(dom._host_boundaries["farfield"].ghosts.size)
+    assert Gd > Gf // 2, (Gd, Gf)
+    # stencil dedup: every general-path ghost maps to one unique stencil
+    # (strict dedup wins now live in the dense path, which absorbs the
+    # shared-stencil hypercube columns)
+    assert bbc.n_patch + bbc.n_fb <= Gg
+    assert bbc.g2u.shape[0] == Gg
     assert int(np.asarray(bbc.g2u).max()) == bbc.n_patch + bbc.n_fb - 1
     assert bbc.n_patch > 0, "patch fast path unused on the airfoil mesh"
 
