@@ -118,7 +118,11 @@ def build_flat_plate(
     if use_blocks:
         from ..topology.blocked_bc import build_blocked_bc
 
-        imd = build_blocked_bc(dom, ["wall", "farfield"]).image_distances
+        # the wall callback closes over per-ghost image distances, so the
+        # wall family must stay on the general (per-ghost) path; only the
+        # farfield is dense-plane eligible
+        imd = build_blocked_bc(dom, ["wall", "farfield"],
+                               dense_families=("farfield",)).image_distances
 
         def wall_fn_b(Si, nrm):
             Pi = Si[:, :4]
@@ -140,6 +144,7 @@ def build_flat_plate(
         flat_bcs=[("wall", wall_fn), ("farfield", far_fn)],
         blocked_bcs=blocked_bcs,
         high_order=high_order, use_blocks=use_blocks,
+        dense_families=("farfield",),
     )
 
     P0 = np.tile(P_inf, (dom.ncells, 1))

@@ -158,6 +158,7 @@ def build_rans_march(
     blocked_bcs: Optional[Dict[str, Callable]] = None,  # name -> fn(Si, nrm)
     high_order: bool = True,
     use_blocks: bool = True,
+    dense_families: Optional[Sequence[str]] = None,
 ) -> RansMarch:
     part = dom.partitions[0]
     nd = dom.nd
@@ -237,7 +238,8 @@ def build_rans_march(
         from ..topology.blocks import build_block_tables
 
         bt = build_block_tables(dom)
-        bbc = build_blocked_bc(dom, [fam for fam, _ in flat_bcs])
+        bbc = build_blocked_bc(dom, [fam for fam, _ in flat_bcs],
+                               dense_families=dense_families)
         active3 = jnp.asarray(to_blocks(bt, active[:, None])[..., 0])
 
         def guard_b(g):

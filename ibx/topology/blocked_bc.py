@@ -28,7 +28,7 @@ order (tests/test_blocked_bc.py).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -314,10 +314,20 @@ class BlockedBC:
         return view.reshape(P3.shape)
 
 
-def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
+def build_blocked_bc(dom, names: Sequence[str],
+                     dense_families: Optional[Sequence[str]] = None,
+                     ) -> BlockedBC:
     """Host compiler: fuse ``names`` families into a BlockedBC.
 
     Requires a single-partition domain (global index space).
+
+    ``dense_families`` restricts the dense-plane fast path to the named
+    hypercube families (default: all of them). The dense path evaluates a
+    family's BC callback column-wise on plane-shaped inputs, so it is only
+    valid for callbacks that are pure functions of ``(Si, nrm)`` — exclude
+    any family whose callback closes over per-ghost tables (e.g. the
+    flat-plate wall-function BC, which indexes ``image_distances`` in the
+    general path's ghost order).
     """
     if dom.n_partitions != 1:
         raise ValueError("build_blocked_bc requires n_partitions == 1")
@@ -376,6 +386,8 @@ def build_blocked_bc(dom, names: Sequence[str]) -> BlockedBC:
     # gather rows per application) from the general path.
     hcube_names = {n for n, _ in
                    dom.reconstruction_kwargs.get("hypercube_families", [])}
+    if dense_families is not None:
+        hcube_names &= set(dense_families)
     dense_rows_l, dense_mask_l, dense_spec_l = [], [], []
     dense_sel = np.zeros(ghosts.size, bool)
     strides = np.array([bs ** k for k in range(nd)], np.int64)

@@ -62,8 +62,21 @@ def main():
         resume = os.environ.get("IBX_ORACLE_RESUME")
         seed = os.environ.get("IBX_ORACLE_SEED")
         if resume and os.path.exists(resume):
-            P = case.apply_bcs(np.load(resume)["P"])
+            P = case.apply_bcs(jax.numpy.asarray(np.load(resume)["P"]))
             print(f"[{tag}] resumed state from {resume}", flush=True)
+            relax = os.environ.get("IBX_ORACLE_RELAX")
+            if relax:
+                # resumed from a RAW grid-transfer state (written by a
+                # separate CPU process to keep one big case per TPU
+                # process): relax the wall-crossing transfer noise off at
+                # low CFL before the accurate march
+                soft_case = build_rae2822(**dict(cfg, cfl=float(relax)))
+                P = soft_case.march(P, 2000)
+                del soft_case
+                jax.block_until_ready(P)
+                cl_r, _ = force_coefficients(case, np.asarray(P))
+                print(f"[{tag}] resume relax done: Cl={cl_r:.4f}",
+                      flush=True)
         elif seed:
             # grid sequencing: converge a coarser level first and IDW-
             # transfer it up — the explicit local-dt march at 881k cells
