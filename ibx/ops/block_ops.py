@@ -334,12 +334,13 @@ def face_accumulate(bt: BlockTables, d: int, W3, face_fn: Callable,
     2:1 interfaces and the generic sparse leftover — identical coverage to
     the Euler passes.
 
-    Face values are evaluated TWICE per interior face (once as each cell's
-    plus/minus side) on rolled views, with block-edge faces patched in as
-    broadcast columns. That trades cheap VPU re-evaluation for never
-    materializing the (bs+1)-wide padded operand and face arrays — the
-    dominant HBM traffic of the straightforward pad -> face -> green-gauss
-    chain (measured ~46% of the 3D step in data movement).
+    Each flux is evaluated ONCE per face into a single (bs+1)-wide face
+    array built by `concatenate([lo_face, interior, hi_face])`, where the
+    interior faces read SLICE windows of the operands (no wrap-around, so
+    the slices fuse into the concat as window reads) — no padded (bs+2)
+    operands, no `roll` (whose wrap lowers to slice-copies + a patch
+    fusion: the pre-round-3 roll form re-materialized every face array
+    ~3x and cost ~2.5 ms/step of slice copies on the 2.8M-cell sphere).
     """
     parts = _parts(W3)
     tup = isinstance(W3, (tuple, list))
@@ -349,11 +350,11 @@ def face_accumulate(bt: BlockTables, d: int, W3, face_fn: Callable,
     ax = _axis(bt, d)
     bs = bt.block_size
     h = _h_bcast(bt, d, 1)
-    lo = tuple(jnp.roll(p, 1, axis=ax) for p in parts)
-    F_minus = fn(lo, parts, h, h)       # face (i-1, i); garbage at i = 0
-    # face (i, i+1) is the same face array shifted by one cell — one flux
-    # evaluation per face, not two
-    F_plus = jnp.roll(F_minus, -1, axis=ax)
+    # interior faces (i-1, i), i = 1..bs-1: slice windows, no wrap
+    lo_sl = tuple(jax.lax.slice_in_dim(p, 0, bs - 1, axis=ax)
+                  for p in parts)
+    hi_sl = tuple(jax.lax.slice_in_dim(p, 1, bs, axis=ax) for p in parts)
+    F_int = fn(lo_sl, hi_sl, h, h)
 
     # block-edge faces: halo columns (dense neighbor edge planes; own edge
     # mirrored on one-sided boundary sides; invalid sides masked to zero —
@@ -373,21 +374,24 @@ def face_accumulate(bt: BlockTables, d: int, W3, face_fn: Callable,
         lasts.append(last)
         halos_l.append(hl)
         halos_r.append(hr)
-    n_trail = F_minus.ndim - 1 - bt.nd
+    n_trail = F_int.ndim - 1 - bt.nd
     mask_l = bt.edge_valid[d][0].reshape(
         (bt.n_blocks,) + (1,) * (bt.nd + n_trail))
     mask_r = bt.edge_valid[d][1].reshape(mask_l.shape)
     lo_face = fn(tuple(halos_l), tuple(firsts), h, h) * mask_l
     hi_face = fn(tuple(lasts), tuple(halos_r), h, h) * mask_r
 
-    ishape = [1] * F_minus.ndim
-    ishape[ax] = bs
-    iota = jax.lax.broadcasted_iota(jnp.int32, tuple(ishape), ax)
-    Fm = jnp.where(iota == 0, lo_face, F_minus)
-    Fp = jnp.where(iota == bs - 1, hi_face, F_plus)
-    sgn = jnp.where(jnp.asarray(signed_mask, F_minus.dtype) > 0, -1.0, 1.0)
+    # ONE materialized face array [.., bs+1, ..]; its two unit-shifted
+    # slice views fuse into the divergence consumer
+    Fall = jnp.concatenate([lo_face, F_int, hi_face], axis=ax)
+    Fm = jax.lax.slice_in_dim(Fall, 0, bs, axis=ax)
+    Fp = jax.lax.slice_in_dim(Fall, 1, bs + 1, axis=ax)
+    sgn = jnp.where(jnp.asarray(signed_mask, F_int.dtype) > 0, -1.0, 1.0)
     out = (Fp + sgn * Fm) / h
 
+    ishape = [1] * out.ndim
+    ishape[ax] = bs
+    iota = jax.lax.broadcasted_iota(jnp.int32, tuple(ishape), ax)
     cols = interface_corrections(bt, d, W3, face_fn, n_out, signed_mask)
     if cols is not None:
         if cols[0] is not None:
