@@ -16,6 +16,7 @@ the parity tests enforce it.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Tuple
 
 import numpy as np
@@ -27,6 +28,14 @@ from ..physics.flux import inviscid_fluxes_hll, viscous_fluxes
 from ..physics.fluid import Fluid, primitive2state, speed_of_sound, state2primitive
 from ..topology.blocks import BlockTables
 from .operators import minmod
+
+
+# face-array formulation switch (see `face_accumulate`). Default concat:
+# the padded form was A/B'd on a synthetic 5.45M-cell uniform forest
+# (scripts/rhs_lab.py, TPU) and LOST — rk2 60.3 vs 52.4 ms/step (the
+# padded operands re-materialize all 11 pass-B channel parts at
+# (bs+2)/bs size, outweighing the saved slice copies).
+_PADDED_FACES = os.environ.get("IBX_PADDED_FACES", "0") != "0"
 
 
 def _axis(bt: BlockTables, d: int) -> int:
@@ -334,13 +343,18 @@ def face_accumulate(bt: BlockTables, d: int, W3, face_fn: Callable,
     2:1 interfaces and the generic sparse leftover — identical coverage to
     the Euler passes.
 
-    Each flux is evaluated ONCE per face into a single (bs+1)-wide face
-    array built by `concatenate([lo_face, interior, hi_face])`, where the
-    interior faces read SLICE windows of the operands (no wrap-around, so
-    the slices fuse into the concat as window reads) — no padded (bs+2)
-    operands, no `roll` (whose wrap lowers to slice-copies + a patch
-    fusion: the pre-round-3 roll form re-materialized every face array
-    ~3x and cost ~2.5 ms/step of slice copies on the 2.8M-cell sphere).
+    Each flux is evaluated ONCE per face. Two formulations, bit-identical
+    per face (same inputs, same fn, same divergence expression):
+
+      * concat (default): interior faces evaluated on slice windows, edge
+        faces separately, one `concatenate([lo, int, hi])` face array —
+        the round-3 formulation.
+      * padded (IBX_PADDED_FACES=1): each operand part is padded once with
+        its halo columns ([.., bs+2, ..], `pad_dim`), the face fn is
+        evaluated on the two unit-shifted (bs+1)-windows, invalid edge
+        faces are masked. A/B'd on a synthetic 5.45M-cell forest
+        (scripts/rhs_lab.py): LOSES 15% (60.3 vs 52.4 ms/step rk2) — kept
+        only as the measured reference point.
     """
     parts = _parts(W3)
     tup = isinstance(W3, (tuple, list))
@@ -350,6 +364,45 @@ def face_accumulate(bt: BlockTables, d: int, W3, face_fn: Callable,
     ax = _axis(bt, d)
     bs = bt.block_size
     h = _h_bcast(bt, d, 1)
+
+    if _PADDED_FACES:
+        padded = tuple(pad_dim(bt, p, d) for p in parts)
+        lo = tuple(jax.lax.slice_in_dim(p, 0, bs + 1, axis=ax)
+                   for p in padded)
+        hi = tuple(jax.lax.slice_in_dim(p, 1, bs + 2, axis=ax)
+                   for p in padded)
+        Fall = fn(lo, hi, h, h)
+        n_trail = Fall.ndim - 1 - bt.nd
+        mshape = [bt.n_blocks] + [1] * (bt.nd + n_trail)
+        mask_l = bt.edge_valid[d][0].reshape(mshape)
+        mask_r = bt.edge_valid[d][1].reshape(mshape)
+        ishape = [1] * Fall.ndim
+        ishape[ax] = bs + 1
+        iota = jax.lax.broadcasted_iota(jnp.int32, tuple(ishape), ax)
+        Fall = Fall * jnp.where(
+            iota == 0, mask_l, jnp.where(iota == bs, mask_r, 1.0))
+        Fm = jax.lax.slice_in_dim(Fall, 0, bs, axis=ax)
+        Fp = jax.lax.slice_in_dim(Fall, 1, bs + 1, axis=ax)
+        sgn = jnp.where(jnp.asarray(signed_mask, Fall.dtype) > 0, -1.0, 1.0)
+        out = (Fp + sgn * Fm) / h
+
+        cols = interface_corrections(bt, d, W3, face_fn, n_out, signed_mask)
+        if cols is not None:
+            cshape = [1] * out.ndim
+            cshape[ax] = bs
+            ciota = jax.lax.broadcasted_iota(jnp.int32, tuple(cshape), ax)
+            if cols[0] is not None:
+                out = out + jnp.where(
+                    ciota == 0, jnp.expand_dims(cols[0], ax), 0.0)
+            if cols[1] is not None:
+                out = out + jnp.where(
+                    ciota == bs - 1, jnp.expand_dims(cols[1], ax), 0.0)
+        if bt.sp_owner[d].shape[0]:
+            gs = _generic_sparse(bt, d, W3 if tup else
+                                 W3.reshape(bt.n_cells, W3.shape[-1]),
+                                 face_fn, n_out, signed_mask)
+            out = out + gs.reshape(out.shape)
+        return out
     # interior faces (i-1, i), i = 1..bs-1: slice windows, no wrap
     lo_sl = tuple(jax.lax.slice_in_dim(p, 0, bs - 1, axis=ax)
                   for p in parts)
@@ -389,11 +442,11 @@ def face_accumulate(bt: BlockTables, d: int, W3, face_fn: Callable,
     sgn = jnp.where(jnp.asarray(signed_mask, F_int.dtype) > 0, -1.0, 1.0)
     out = (Fp + sgn * Fm) / h
 
-    ishape = [1] * out.ndim
-    ishape[ax] = bs
-    iota = jax.lax.broadcasted_iota(jnp.int32, tuple(ishape), ax)
     cols = interface_corrections(bt, d, W3, face_fn, n_out, signed_mask)
     if cols is not None:
+        ishape = [1] * out.ndim
+        ishape[ax] = bs
+        iota = jax.lax.broadcasted_iota(jnp.int32, tuple(ishape), ax)
         if cols[0] is not None:
             out = out + jnp.where(
                 iota == 0, jnp.expand_dims(cols[0], ax), 0.0)

@@ -6,6 +6,7 @@ the single-device march to f32 round-off.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -58,6 +59,8 @@ def test_sharded_block_matches_single_device():
     assert err < 1e-4, f"sharded-vs-single (shocked) mismatch {err}"
 
 
+@pytest.mark.slow   # 3-9 min each on the 1-CPU box; the core
+# 2D parity test above stays in the fast tier
 def test_sharded_sphere3d_matches_single_device():
     """3D leg of the multi-chip parity check (VERDICT round-2 item 4)."""
     from ibx.cases.sphere3d_block_sharded import build_sphere3d_block_sharded
@@ -87,6 +90,8 @@ def test_sharded_sphere3d_matches_single_device():
     del res_ref
 
 
+@pytest.mark.slow   # 3-9 min each on the 1-CPU box; the core
+# 2D parity test above stays in the fast tier
 def test_sharded_overlap_matches_single_device():
     """Interior/frontier overlap split (VERDICT round-2 item 3): same
     numerics as the monolithic sharded step, hence as single-device."""
@@ -107,6 +112,8 @@ def test_sharded_overlap_matches_single_device():
     assert err < 1e-4, f"overlap sharded-vs-single mismatch {err}"
 
 
+@pytest.mark.slow   # 3-9 min each on the 1-CPU box; the core
+# 2D parity test above stays in the fast tier
 def test_sharded_te_fix_matches_single_device():
     """fix3 (TE robustness blend) through the sharded path: static local
     fix field must reproduce the single-device fix3 march."""

@@ -8,6 +8,9 @@ import pytest
 
 from ibx.cases.wing3d_rans_fas import build_wing3d_rans_fas
 
+# two full 3D wing builds (~minutes each on the 1-CPU box): slow tier
+pytestmark = pytest.mark.slow
+
 KW = dict(wall_h=0.25, span=0.5, farfield=2.0, block_size=8,
           n_coarse_iter=4)
 
