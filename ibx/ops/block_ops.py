@@ -37,6 +37,11 @@ from .operators import minmod
 # (bs+2)/bs size, outweighing the saved slice copies).
 _PADDED_FACES = os.environ.get("IBX_PADDED_FACES", "0") != "0"
 
+# fused Pallas RHS kernels (ibx.ops.pallas_rhs): "auto" uses them for
+# every eligible 3D Euler configuration, "0" disables, "1" asserts
+# eligibility (for tests).
+_PALLAS_RHS = os.environ.get("IBX_PALLAS_RHS", "auto")
+
 
 def _axis(bt: BlockTables, d: int) -> int:
     """Array axis of spatial dim d in [B, x_{nd-1}, ..., x_0, C] layout."""
@@ -520,6 +525,17 @@ def euler_rhs_grid(
     Returns R3 [B, bs.., C]; with ``with_dt`` also dt3 [B, bs..] and the
     frozen (du3_list, nu3) grids.
     """
+    if _PALLAS_RHS != "0":
+        from .pallas_rhs import euler_rhs_grid_pallas, pallas_eligible
+        ok = pallas_eligible(bt, viscous=viscous, fix3=fix3, cut3=cut3,
+                             frozen=frozen, mu_t3=mu_t3)
+        if _PALLAS_RHS == "1" and not ok:
+            raise ValueError("IBX_PALLAS_RHS=1 but configuration is not "
+                             "Pallas-eligible")
+        if ok:
+            return euler_rhs_grid_pallas(
+                bt, fluid, P3, high_order=high_order, with_dt=with_dt,
+                cfl=cfl)
     nd, bs = bt.nd, bt.block_size
     ncomp = P3.shape[-1]
     grid_shape = P3.shape[:-1]

@@ -1,0 +1,563 @@
+"""Fused Pallas TPU kernels for the Euler RHS on 3D block grids.
+
+Motivation (round-4 trace, 5.3M-cell sphere bench, bs=16): the XLA
+formulation of `ibx.ops.block_ops.euler_rhs_grid` moves ~15 GB of HBM per
+RHS evaluation through materialized face arrays, halo concats and
+per-pass re-reads — 52 ms of a 110 ms RK2 step.  The arithmetic needs
+~1 GB.  These kernels evaluate pass A (Green-Gauss gradients + JST-style
+sensor + wave-speed dt bound) and pass B (MUSCL + HLL divergence) as two
+`pallas_call`s over the block forest: one program per block, all three
+dimensions fused, everything VMEM-resident.
+
+Layout: channel-split lane-merged grids ``[B, C, bs, bs*bs]`` — z on
+sublanes, (y, x) merged on lanes (x minor).  The cell-major state
+``[B, bs, bs, bs, C]`` would tile its (bs, C) minor pair onto (8, 128)
+vector registers at C/128 lane utilization; the merged view runs the VPU
+at full width.  Conversions are single XLA transposes at the RHS
+boundary.
+
+Neighbor data: each program loads its six dense neighbors' WHOLE blocks
+through scalar-prefetched index maps (`pltpu.PrefetchScalarGridSpec`) —
+16x more bytes than the needed edge planes, but streamed at full HBM
+bandwidth through the Pallas pipeline.  (The prepare-planes-in-XLA
+alternative was built first and measured: every lane-strided x-plane
+extraction and [.., 16, 16] halo array tiles onto (8, 128) vregs at
+1/8-1/128 utilization, costing ~100 ms/step of data formatting — 40x
+the cost of simply over-reading.)  Edge columns of the neighbor block
+are brought into face position with lane/sublane rolls; one-sided domain
+boundary sides (bnd) mirror the own edge in-kernel.
+
+Parity: faces are evaluated with exactly the expressions of
+`block_ops.face_accumulate`'s concat formulation (same operand order,
+same h algebra; reference semantics ``src/ImmersedBoundary.jl:873-1157``,
+``src/cfd.jl:459-508``).  Structured 2:1 interface corrections and the
+generic sparse leftover stay on the existing XLA machinery
+(`block_ops.interface_corrections`), applied to the kernel outputs —
+identical coverage, with only the float summation order of the (few)
+corrected edge columns differing.  `tests/test_pallas_rhs.py` holds the
+two paths to ~1e-4 relative on a real octree (2:1 jumps in all dims).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..physics.fluid import Fluid
+from ..topology.blocks import BlockTables
+from . import block_ops as bo
+
+
+# ---------------------------------------------------------------------------
+# layout conversions + per-block tables
+# ---------------------------------------------------------------------------
+
+def cs_split(bt: BlockTables, X3):
+    """[B, bs, bs, bs, C] cell-major -> [B, C, bs, bs*bs] channel-split."""
+    B, bs = bt.n_blocks, bt.block_size
+    C = X3.shape[-1]
+    return X3.transpose(0, 4, 1, 2, 3).reshape(B, C, bs, bs * bs)
+
+
+def cs_merge(bt: BlockTables, Xc):
+    """[B, C, bs, bs*bs] -> [B, bs, bs, bs, C] cell-major."""
+    B, bs = bt.n_blocks, bt.block_size
+    C = Xc.shape[1]
+    return Xc.reshape(B, C, bs, bs, bs).transpose(0, 2, 3, 4, 1)
+
+
+def _meta(bt: BlockTables):
+    """Per-block scalars [B, 16] f32: h_d (3), edge_valid[d][s] (6),
+    bnd[d][s] (6), pad."""
+    cols = [bt.h[:, d] for d in range(3)]
+    for d in range(3):
+        for s in (0, 1):
+            cols.append(bt.edge_valid[d][s])
+    for d in range(3):
+        for s in (0, 1):
+            cols.append(bt.bnd[d][s])
+    z = jnp.zeros_like(cols[0])
+    cols.extend([z] * (16 - len(cols)))
+    # [16, B], NOT [B, 16]: SMEM allocations pad per ROW, so the table
+    # must have few long rows (a [B, 16] layout blew the 1 MB SMEM at
+    # B = 1331)
+    return jnp.stack(cols, axis=0)
+
+
+def _nbr_table(bt: BlockTables):
+    """[8, B] int32 dense-neighbor block ids, rows (x0 x1 y0 y1 z0 z1)."""
+    cols = [bt.nbr[d][s] for d in range(3) for s in (0, 1)]
+    z = jnp.zeros_like(cols[0])
+    return jnp.stack(cols + [z, z], axis=0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel shifted-operand builders ([C, bs, bs*bs] own + neighbor blocks)
+# ---------------------------------------------------------------------------
+
+def _shifts(bs: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, bs, bs * bs), 2)
+    x_pos = lane % bs
+    y_pos = lane // bs
+
+    def sh_m(X, NB, d, bnd_s):
+        """Value at the (d)-minus neighbor cell.  The block-edge slot
+        takes the neighbor block's far edge column (lane/sublane roll of
+        the whole neighbor block — a strided-lane extraction is not a
+        TPU vector op, a roll is); one-sided boundary sides mirror the
+        own edge (`block_ops.pad_dim` semantics)."""
+        if d == 2:
+            edge = jnp.where(bnd_s > 0, X[:, :1, :], NB[:, bs - 1:, :])
+            return jnp.concatenate([edge, X[:, :bs - 1, :]], axis=1)
+        if d == 1:
+            edge = jnp.where(bnd_s > 0, X[:, :, :bs],
+                             NB[:, :, bs * (bs - 1):])
+            return jnp.concatenate([edge, X[:, :, :bs * (bs - 1)]], axis=2)
+        fix = jnp.where(bnd_s > 0, X,
+                        pltpu.roll(NB, bs * bs - bs + 1, axis=2))
+        return jnp.where(x_pos == 0, fix, pltpu.roll(X, 1, axis=2))
+
+    def sh_p(X, NB, d, bnd_s):
+        if d == 2:
+            edge = jnp.where(bnd_s > 0, X[:, bs - 1:, :], NB[:, :1, :])
+            return jnp.concatenate([X[:, 1:, :], edge], axis=1)
+        if d == 1:
+            edge = jnp.where(bnd_s > 0, X[:, :, bs * (bs - 1):],
+                             NB[:, :, :bs])
+            return jnp.concatenate([X[:, :, bs:], edge], axis=2)
+        fix = jnp.where(bnd_s > 0, X, pltpu.roll(NB, bs - 1, axis=2))
+        return jnp.where(x_pos == bs - 1, fix,
+                         pltpu.roll(X, bs * bs - 1, axis=2))
+
+    def edge_mask(d, s):
+        """Predicate on the side-s edge slot (face position)."""
+        if d == 2:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, bs, bs * bs), 1)
+        elif d == 1:
+            pos = y_pos
+        else:
+            pos = x_pos
+        return pos == (bs - 1 if s else 0)
+
+    return sh_m, sh_p, edge_mask
+
+
+# ---------------------------------------------------------------------------
+# kernel A: gradients + sensor inputs + dt bound
+# ---------------------------------------------------------------------------
+
+def _kernel_a(fluid_consts, bs, nd, with_dt,
+              meta_ref, nbr_ref, P_ref,
+              nx0, nx1, ny0, ny1, nz0, nz1, out_ref):
+    """Per-block pass A.  Out channels: du (nd*5 signed gradients), then
+    per-dim G (signed fd sum), U (|fd| sum), and — with_dt — sf sum.
+    Matches `block_ops.euler_rhs_grid` face_A exactly per face.
+    """
+    del nbr_ref
+    gamma, R = fluid_consts
+    sh_m, sh_p, edge_mask = _shifts(bs)
+    nbs = ((nx0, nx1), (ny0, ny1), (nz0, nz1))
+    P = P_ref[0]
+    C = 5
+    b = pl.program_id(0)
+
+    def sound(T):
+        return jnp.sqrt(gamma * R * jnp.clip(T, 10.0, None))
+
+    a = sound(P[1:2])
+    for d in range(nd):
+        h = meta_ref[d, b]
+        ev_l = meta_ref[3 + 2 * d, b]
+        ev_r = meta_ref[3 + 2 * d + 1, b]
+        Pm = sh_m(P, nbs[d][0][0], d, meta_ref[9 + 2 * d, b])
+        Pp = sh_p(P, nbs[d][1][0], d, meta_ref[9 + 2 * d + 1, b])
+        # face values, minus side: o = cell-1, n = cell (fn(Wo, Wn, h, h))
+        ml = jnp.where(edge_mask(d, 0), ev_l, 1.0)
+        mr = jnp.where(edge_mask(d, 1), ev_r, 1.0)
+        Pf_m = (Pm * h + P * h) / (h + h) * ml
+        Pf_p = (P * h + Pp * h) / (h + h) * mr
+        fd_m = (P[0:1] - Pm[0:1]) * ml
+        fd_p = (Pp[0:1] - P[0:1]) * mr
+        du = (Pf_p - Pf_m) / h
+        G = (fd_p - fd_m) / h
+        U = (jnp.abs(fd_p) + jnp.abs(fd_m)) / h
+        out_ref[0, d * C:(d + 1) * C] = du
+        out_ref[0, nd * C + d:nd * C + d + 1] = G
+        out_ref[0, nd * C + nd + d:nd * C + nd + d + 1] = U
+        if with_dt:
+            S = jnp.abs(P[2 + d:3 + d]) + a
+            Sm = jnp.abs(Pm[2 + d:3 + d]) + sound(Pm[1:2])
+            Sp = jnp.abs(Pp[2 + d:3 + d]) + sound(Pp[1:2])
+            sf_m = (Sm * h + S * h) / (h + h) * ml
+            sf_p = (S * h + Sp * h) / (h + h) * mr
+            out_ref[0, nd * C + 2 * nd + d:nd * C + 2 * nd + d + 1] = (
+                sf_p + sf_m) / h
+
+
+# ---------------------------------------------------------------------------
+# kernel B: MUSCL + HLL divergence
+# ---------------------------------------------------------------------------
+
+def _hll_flux(gamma, R, PL, PR, d):
+    """Channel-split HLL flux (`ibx.physics.flux.inviscid_fluxes_hll`,
+    reference quirk wave speeds SL = max(uL+aL, 0), SR = min(uR-aR, 0);
+    ``src/cfd.jl:459-508``).  PL/PR: [5, bs, bs*bs]; returns same shape."""
+    def side(X):
+        p = X[0]
+        T = jnp.clip(X[1], 10.0, None)
+        u, v, w = X[2], X[3], X[4]
+        kin = (u * u + v * v + w * w) / 2
+        rho = p / (R * T)
+        E = rho * (R / (gamma - 1.0) * T + kin)
+        Q = (rho, E, rho * u, rho * v, rho * w)
+        un = X[2 + d]
+        mom = [Q[2] * un, Q[3] * un, Q[4] * un]
+        mom[d] = mom[d] + p
+        F = (rho * un, (E + p) * un, mom[0], mom[1], mom[2])
+        aa = jnp.sqrt(gamma * R * T)
+        return Q, F, un, aa
+
+    QL, FL, uL, aL = side(PL)
+    QR, FR, uR, aR = side(PR)
+    SL = jnp.maximum(uL + aL, 0.0)
+    SR = jnp.minimum(uR - aR, 0.0)
+    denom = SL - SR
+    safe = denom > 0
+    den = jnp.where(safe, denom, 1.0)
+    return tuple(
+        jnp.where(safe, (SL * FL[k] - SR * FR[k] + SR * SL * (QR[k] - QL[k]))
+                  / den, 0.0)
+        for k in range(5)
+    )
+
+
+def _face_b(gamma, R, high_order, d, h, Po, Pn, duo, dun, Do, Dn):
+    """-HLL flux of the MUSCL-reconstructed face (block_ops face_B with
+    ho = hn = h; all operands [*, bs, bs*bs] stacks with 5 channels for
+    P/du and 1 for the sensor)."""
+    down = h / 2
+    dneigh = h / 2
+    grad_f = (Pn - Po) / (down + dneigh)
+    slope_o = (2 * duo - grad_f) * down
+    slope_n = (2 * dun - grad_f) * dneigh
+    lim = jnp.minimum(jnp.abs(slope_n), jnp.abs(slope_o)) * (
+        jnp.sign(slope_n) + jnp.sign(slope_o)) / 2
+    PL = Po + lim
+    PR = Pn - lim
+    D = jnp.maximum(jnp.maximum(Do, Dn), 1e-7)
+    uf = (Po * dneigh + Pn * down) / (down + dneigh)
+    if high_order:
+        uf = uf + (duo * down - dun * dneigh) / 8
+    PL = PL * D + (1.0 - D) * uf
+    PR = PR * D + (1.0 - D) * uf
+    F = _hll_flux(gamma, R, PL, PR, d)
+    return jnp.stack([-Fk for Fk in F])
+
+
+def _kernel_b(fluid_consts, bs, nd, high_order,
+              meta_ref, nbr_ref, P_ref, du_ref, nu_ref,
+              px0, px1, py0, py1, pz0, pz1,
+              dx0, dx1, dy0, dy1, dz0, dz1,
+              ux0, ux1, uy0, uy1, uz0, uz1, out_ref):
+    """Per-block pass B: R = sum_d (F_plus - F_minus)/h with F = -HLL of
+    the MUSCL face.  Neighbor operands: P blocks, the face-dim gradient
+    block (channel-blocked from the [B, 15, ..] gradient array by the
+    index map), and sensor blocks."""
+    del nbr_ref
+    gamma, R = fluid_consts
+    sh_m, sh_p, edge_mask = _shifts(bs)
+    nbP = ((px0, px1), (py0, py1), (pz0, pz1))
+    nbD = ((dx0, dx1), (dy0, dy1), (dz0, dz1))
+    nbU = ((ux0, ux1), (uy0, uy1), (uz0, uz1))
+    P = P_ref[0]
+    nu = nu_ref[0]
+    C = 5
+    b = pl.program_id(0)
+    acc = None
+    for d in range(nd):
+        h = meta_ref[d, b]
+        ev_l = jnp.where(edge_mask(d, 0), meta_ref[3 + 2 * d, b], 1.0)
+        ev_r = jnp.where(edge_mask(d, 1), meta_ref[4 + 2 * d, b], 1.0)
+        bnd_l = meta_ref[9 + 2 * d, b]
+        bnd_r = meta_ref[9 + 2 * d + 1, b]
+        du = du_ref[0, d * C:(d + 1) * C]
+        W = jnp.concatenate([P, du, nu], axis=0)       # [11, bs, bs*bs]
+        NB_l = jnp.concatenate(
+            [nbP[d][0][0], nbD[d][0][0], nbU[d][0][0]], axis=0)
+        NB_r = jnp.concatenate(
+            [nbP[d][1][0], nbD[d][1][0], nbU[d][1][0]], axis=0)
+        Wm = sh_m(W, NB_l, d, bnd_l)
+        Wp = sh_p(W, NB_r, d, bnd_r)
+        Fm = _face_b(gamma, R, high_order, d, h,
+                     Wm[0:5], W[0:5], Wm[5:10], W[5:10],
+                     Wm[10:11], W[10:11]) * ev_l
+        Fp = _face_b(gamma, R, high_order, d, h,
+                     W[0:5], Wp[0:5], W[5:10], Wp[5:10],
+                     W[10:11], Wp[10:11]) * ev_r
+        Rd = (Fp - Fm) / h
+        acc = Rd if acc is None else acc + Rd
+    out_ref[0] = acc
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _own(bs, ch):
+    return pl.BlockSpec((1, ch, bs, bs * bs), lambda b, m, n: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _nbspec(bs, ch, k, cblk=None):
+    """Neighbor-block spec: block id from the prefetched neighbor table
+    (column k); ``cblk`` picks a channel block (e.g. the face-dim
+    gradient from the [B, nd*5, ..] array)."""
+    c = 0 if cblk is None else cblk
+    return pl.BlockSpec(
+        (1, ch, bs, bs * bs),
+        lambda b, m, n, k=k, c=c: (n[k, b], c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def run_kernel_a(bt: BlockTables, fluid: Fluid, Pc, *, with_dt: bool):
+    bs, nd, B = bt.block_size, bt.nd, bt.n_blocks
+    n_out = nd * 5 + (3 if with_dt else 2) * nd
+    consts = (float(fluid.gamma), float(fluid.R))
+    kern = functools.partial(_kernel_a, consts, bs, nd, with_dt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[_own(bs, 5)] + [_nbspec(bs, 5, k) for k in range(6)],
+        out_specs=_own(bs, n_out),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_out, bs, bs * bs), Pc.dtype),
+        interpret=_interpret(),
+    )(_meta(bt), _nbr_table(bt), Pc, *([Pc] * 6))
+
+
+def run_kernel_b(bt: BlockTables, fluid: Fluid, Pc, du_cs, nu_cs, *,
+                 high_order: bool):
+    bs, nd, B = bt.block_size, bt.nd, bt.n_blocks
+    consts = (float(fluid.gamma), float(fluid.R))
+    kern = functools.partial(_kernel_b, consts, bs, nd, high_order)
+    in_specs = (
+        [_own(bs, 5), _own(bs, nd * 5), _own(bs, 1)]
+        + [_nbspec(bs, 5, k) for k in range(6)]
+        + [_nbspec(bs, 5, k, cblk=k // 2) for k in range(6)]
+        + [_nbspec(bs, 1, k) for k in range(6)]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=_own(bs, 5),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 5, bs, bs * bs), Pc.dtype),
+        interpret=_interpret(),
+    )(_meta(bt), _nbr_table(bt), Pc, du_cs, nu_cs,
+      *([Pc] * 6), *([du_cs] * 6), *([nu_cs] * 6))
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: corrections + sensor assembly + full RHS
+# ---------------------------------------------------------------------------
+
+def _has_ifc(bt: BlockTables, d: int) -> bool:
+    return bool(bt.fs_block[d][0].shape[0] or bt.fs_block[d][1].shape[0]
+                or bt.cs_block[d][0].shape[0] or bt.cs_block[d][1].shape[0])
+
+
+def _has_sparse(bt: BlockTables) -> bool:
+    return any(int(bt.sp_owner[d].shape[0]) for d in range(bt.nd))
+
+
+def pallas_eligible(bt: BlockTables, *, viscous=False, fix3=None, cut3=None,
+                    frozen=None, mu_t3=None) -> bool:
+    """Static gate: the fused kernels cover the 3D Euler configuration
+    (the generic-sparse leftover and the extra physics stay on the XLA
+    path)."""
+    return (bt.nd == 3 and bt.block_size in (8, 16)
+            and not viscous and fix3 is None and cut3 is None
+            and frozen is None and mu_t3 is None and not _has_sparse(bt))
+
+
+def _cols_add_cs(bt: BlockTables, Xc, cols, d: int, ch0: int, ch1: int):
+    """Add cell-major edge-column corrections [B, lat.., n] into channels
+    [ch0:ch1] of the channel-split grid ``Xc`` at the side-s edge slots
+    (the iota-where of `face_accumulate`, re-expressed channel-split)."""
+    B, bs = bt.n_blocks, bt.block_size
+    n = ch1 - ch0
+    out = Xc
+    for s in (0, 1):
+        if cols[s] is None:
+            continue
+        cT = cols[s].transpose(0, 3, 1, 2)       # [B, n, lat0, lat1]
+        if d == 2:
+            pad = cT.reshape(B, n, 1, bs * bs)
+            upd = jnp.concatenate(
+                [jnp.zeros((B, ch0, 1, bs * bs), cT.dtype), pad,
+                 jnp.zeros((B, Xc.shape[1] - ch1, 1, bs * bs), cT.dtype)],
+                axis=1)
+            z = jnp.zeros((B, Xc.shape[1], bs - 1, bs * bs), cT.dtype)
+            full = (jnp.concatenate([upd, z], axis=2) if s == 0
+                    else jnp.concatenate([z, upd], axis=2))
+        elif d == 1:
+            z = jnp.zeros((B, n, bs, bs * (bs - 1)), cT.dtype)
+            row = (jnp.concatenate([cT, z], axis=3) if s == 0
+                   else jnp.concatenate([z, cT], axis=3))
+            full = jnp.concatenate(
+                [jnp.zeros((B, ch0, bs, bs * bs), cT.dtype), row,
+                 jnp.zeros((B, Xc.shape[1] - ch1, bs, bs * bs), cT.dtype)],
+                axis=1)
+        else:
+            z = jnp.zeros((B, n, bs, bs, bs - 1), cT.dtype)
+            row = (jnp.concatenate([cT[..., None], z], axis=4) if s == 0
+                   else jnp.concatenate([z, cT[..., None]], axis=4))
+            row = row.reshape(B, n, bs, bs * bs)
+            full = jnp.concatenate(
+                [jnp.zeros((B, ch0, bs, bs * bs), cT.dtype), row,
+                 jnp.zeros((B, Xc.shape[1] - ch1, bs, bs * bs), cT.dtype)],
+                axis=1)
+        out = out + full
+    return out
+
+
+def euler_rhs_grid_pallas(
+    bt: BlockTables,
+    fluid: Fluid,
+    P3,
+    *,
+    high_order: bool = True,
+    with_dt: bool = False,
+    cfl: float = 0.8,
+):
+    """Drop-in fused-kernel counterpart of `block_ops.euler_rhs_grid` for
+    the 3D Euler configuration (no viscous/fix/cut/frozen).  Returns the
+    same (R3 [, dt3, frozen]) structure in cell-major layout."""
+    nd, bs, B = bt.nd, bt.block_size, bt.n_blocks
+    ncomp = P3.shape[-1]
+    Pc = cs_split(bt, P3)
+    A = run_kernel_a(bt, fluid, Pc, with_dt=with_dt)
+
+    # 2:1 interface corrections for pass A (XLA; identical machinery)
+    nA = ncomp + (3 if with_dt else 2)
+    signedA = [1.0] * (ncomp + 1) + [0.0] * (2 if with_dt else 1)
+    if any(_has_ifc(bt, d) for d in range(nd)):
+        a3 = jnp.sqrt(fluid.gamma * fluid.R
+                      * jnp.clip(P3[..., 1], 10.0, None))
+        S3 = jnp.abs(P3[..., 2:2 + nd]) + a3[..., None]
+        for d in range(nd):
+            if not _has_ifc(bt, d):
+                continue
+            partsA = (P3, S3[..., d:d + 1]) if with_dt else (P3,)
+
+            def face_A(Wo, Wn, ho, hn):
+                Po, Pn = Wo[0], Wn[0]
+                Pf = (Po * hn + Pn * ho) / (ho + hn)
+                fd = Pn[..., 0:1] - Po[..., 0:1]
+                out = [Pf, fd, jnp.abs(fd)]
+                if with_dt:
+                    So, Sn = Wo[1], Wn[1]
+                    out.append((So * hn + Sn * ho) / (ho + hn))
+                return jnp.concatenate(out, axis=-1)
+
+            cols = bo.interface_corrections(bt, d, partsA, face_A, nA,
+                                            signedA)
+            if cols is None:
+                continue
+            # cols channels: [du(5), G, U (, sf)] -> kernel-A channels
+            csl = [(0, (d * 5, (d + 1) * 5)),
+                   (5, (nd * 5 + d, nd * 5 + d + 1)),
+                   (6, (nd * 5 + nd + d, nd * 5 + nd + d + 1))]
+            if with_dt:
+                csl.append((7, (nd * 5 + 2 * nd + d,
+                                nd * 5 + 2 * nd + d + 1)))
+            for src0, (c0, c1) in csl:
+                sub = [None if c is None else c[..., src0:src0 + (c1 - c0)]
+                       for c in cols]
+                A = _cols_add_cs(bt, A, sub, d, c0, c1)
+
+    du_cs = A[:, :nd * 5]
+    Gs = A[:, nd * 5:nd * 5 + nd]
+    Us = A[:, nd * 5 + nd:nd * 5 + 2 * nd]
+    nu_cs = jnp.full((B, 1, bs, bs * bs), 1e-7, dtype=P3.dtype)
+    for d in range(nd):
+        nu_cs = jnp.maximum(
+            nu_cs, (1e-7 + jnp.abs(Gs[:, d:d + 1]))
+            / (1e-7 + Us[:, d:d + 1]))
+
+    Rc = run_kernel_b(bt, fluid, Pc, du_cs, nu_cs, high_order=high_order)
+    R3 = cs_merge(bt, Rc)
+
+    # 2:1 corrections for pass B (cell-major add, as in face_accumulate)
+    if any(_has_ifc(bt, d) for d in range(nd)):
+        du3 = None
+        nu3 = cs_merge(bt, nu_cs)
+        signedB = [1.0] * ncomp
+        for d in range(nd):
+            if not _has_ifc(bt, d):
+                continue
+            if du3 is None:
+                du3 = [cs_merge(bt, du_cs[:, dd * 5:(dd + 1) * 5])
+                       for dd in range(nd)]
+
+            def face_B(Wo, Wn, ho, hn, d=d):
+                Po, Pn = Wo[0], Wn[0]
+                duo, dun = Wo[1], Wn[1]
+                Do, Dn = Wo[2], Wn[2]
+                down, dneigh = ho / 2, hn / 2
+                grad_f = (Pn - Po) / (down + dneigh)
+                slope_o = (2 * duo - grad_f) * down
+                slope_n = (2 * dun - grad_f) * dneigh
+                lim = bo.minmod(slope_n, slope_o)
+                PL = Po + lim
+                PR = Pn - lim
+                D = jnp.maximum(jnp.maximum(Do, Dn), 1e-7)
+                uf = (Po * dneigh + Pn * down) / (down + dneigh)
+                if high_order:
+                    uf = uf + (duo * down - dun * dneigh) / 8
+                PL = PL * D + (1.0 - D) * uf
+                PR = PR * D + (1.0 - D) * uf
+                from ..physics.flux import inviscid_fluxes_hll
+                return -inviscid_fluxes_hll(fluid, PL, PR, d)
+
+            cols = bo.interface_corrections(
+                bt, d, (P3, du3[d], nu3), face_B, ncomp, signedB)
+            if cols is None:
+                continue
+            ax = bo._axis(bt, d)
+            ishape = [1] * R3.ndim
+            ishape[ax] = bs
+            iota = jax.lax.broadcasted_iota(jnp.int32, tuple(ishape), ax)
+            if cols[0] is not None:
+                R3 = R3 + jnp.where(iota == 0,
+                                    jnp.expand_dims(cols[0], ax), 0.0)
+            if cols[1] is not None:
+                R3 = R3 + jnp.where(iota == bs - 1,
+                                    jnp.expand_dims(cols[1], ax), 0.0)
+
+    if with_dt:
+        sfs = A[:, nd * 5 + 2 * nd:nd * 5 + 3 * nd]
+        dtb = sfs[:, 0] + sfs[:, 1] + sfs[:, 2]
+        dt3 = (cfl / dtb).reshape((B,) + (bs,) * nd)
+        du3 = [cs_merge(bt, du_cs[:, d * 5:(d + 1) * 5]) for d in range(nd)]
+        nu3 = cs_merge(bt, nu_cs)
+        return R3, dt3, (du3, nu3)
+    return R3
