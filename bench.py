@@ -39,17 +39,39 @@ def main():
         block_size = int(os.environ.get("IBX_BENCH_BLOCK_SIZE", "16"))
         case = build_rae2822(wall_h=wall_h, feature_h=wall_h / 2, cfl=0.5,
                              block_size=block_size)
+    # IBX_BENCH_SHARDED=1: march through the 1-device-mesh shard_map
+    # runtime instead (neighbor-ppermute halo exchange included), so the
+    # driver-recorded JSON carries a measured sharded factor for the pod
+    # extrapolation (VERDICT round-3 item 6).
+    sharded = os.environ.get("IBX_BENCH_SHARDED", "0") != "0"
+    tag = ""
+    if sharded:
+        if which == "sphere3d":
+            from ibx.cases.sphere3d_block_sharded import (
+                build_sphere3d_block_sharded)
+            sbd, _, P0_sh, _ = build_sphere3d_block_sharded(
+                1, cfl=0.5, case=case)
+        else:
+            from ibx.cases.rae2822_block_sharded import (
+                build_rae2822_block_sharded)
+            sbd, _, P0_sh, _ = build_rae2822_block_sharded(
+                1, cfl=0.5, case=case)
+        march, P = sbd.march, P0_sh
+        tag = ", sharded=1-device-mesh"
+    else:
+        march, P = case.march, case.P0
     build_s = time.time() - t0
     n = case.dom.ncells
 
-    P = case.P0
     # warmup / compile
-    P = case.march(P, 2)
+    P = march(P, 2)
     jax.block_until_ready(P)
     t0 = time.time()
-    P = case.march(P, steps)
+    P = march(P, steps)
     jax.block_until_ready(P)
     elapsed = time.time() - t0
+    if sharded:
+        P = sbd.collect(P)
 
     if not bool(np.isfinite(np.asarray(P)).all()):
         print(json.dumps({"metric": "error", "value": 0,
@@ -64,7 +86,7 @@ def main():
                 "value": cups,
                 "unit": (
                     f"cell-updates/s/chip (cells={n}, steps={steps}, "
-                    f"march={elapsed:.3f}s, build={build_s:.1f}s)"
+                    f"march={elapsed:.3f}s, build={build_s:.1f}s{tag})"
                 ),
                 "vs_baseline": cups / 125e6,
             }

@@ -32,12 +32,19 @@ def build_sphere3d_block_sharded(
     wall_h: float = 0.1,
     cfl: float = 0.7,
     high_order: bool = True,
+    case=None,
     **kwargs,
 ):
-    """Returns (sharded_block_domain, jitted step, sharded P0, case)."""
-    case = build_sphere3d(
-        wall_h=wall_h, cfl=cfl, high_order=high_order, **kwargs,
-    )
+    """Returns (sharded_block_domain, jitted step, sharded P0, case).
+
+    ``case`` reuses a prebuilt single-chip case (the sharded step
+    re-derives its BCs from the case's domain) — used by the
+    IBX_BENCH_SHARDED bench arm to avoid rebuilding the topology twice.
+    """
+    if case is None:
+        case = build_sphere3d(
+            wall_h=wall_h, cfl=cfl, high_order=high_order, **kwargs,
+        )
     mesh = make_device_mesh(n_devices)
     sbd = ShardedBlockDomain(case.dom, mesh)
 

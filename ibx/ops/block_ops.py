@@ -209,7 +209,7 @@ def _cat_fn(face_fn: Callable, widths):
 
 
 def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
-                          n_out: int, signed_mask):
+                          n_out: int, signed_mask, edge_fetch=None):
     """Structured 2:1 interface contributions as a cell-grid array.
 
     ``face_fn(W_owner, W_neighbor, h_owner, h_neighbor) -> [..., n_out]``
@@ -217,6 +217,13 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
     flagged in ``signed_mask`` accumulate green-gauss style (+ on a cell's
     plus side, - on its minus side); others accumulate unsigned. The result
     is already divided by the accumulating cell's spacing.
+
+    ``edge_fetch(s, blocks) -> [V, lat.., Ktot]`` (optional) supplies the
+    channel-concatenated side-``s`` edge planes of the given block rows
+    directly — used by the Pallas RHS glue, whose operands live
+    channel-split: gathering the handful of interface blocks and slicing
+    their planes beats materializing cell-major grids of every part.
+    Default: extract from the ``W3`` grids (identical values).
     """
     parts = _parts(W3)
     if isinstance(W3, (tuple, list)):
@@ -231,6 +238,11 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
         # cheap, unlike concatenating the full grids)
         es = [_edge(bt, p, d, s) for p in parts]
         return es[0] if len(es) == 1 else jnp.concatenate(es, axis=-1)
+
+    def fetch(side, blocks):
+        if edge_fetch is not None:
+            return edge_fetch(side, blocks)
+        return _edge_rows(bt, edge_cat(side), blocks)
 
     def place(vals, inv):
         # inverse-permutation gather: each block appears at most once per
@@ -250,14 +262,12 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
     cols = [None, None]
     for s in (0, 1):
         sgn = jnp.where(signed > 0, 1.0 if s == 1 else -1.0, 1.0)
-        edge_s = edge_cat(s)
-        edge_o = edge_cat(1 - s)
         pieces = []
 
         fsb = bt.fs_block[d][s]
         if fsb.shape[0]:
-            own = _edge_rows(bt, edge_s, fsb)
-            other_col = _edge_rows(bt, edge_o, bt.fs_coarse[d][s])
+            own = fetch(s, fsb)
+            other_col = fetch(1 - s, bt.fs_coarse[d][s])
             other = _expand_coarse(other_col, bt.fs_off[d][s], bs, nd)
             hf = hshape(fsb)
             hc = 2.0 * hf
@@ -269,8 +279,8 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
 
         csb = bt.cs_block[d][s]
         if csb.shape[0]:
-            own = _edge_rows(bt, edge_s, csb)
-            planes = [_edge_rows(bt, edge_o, bt.cs_fine[d][s][:, q])
+            own = fetch(s, csb)
+            planes = [fetch(1 - s, bt.cs_fine[d][s][:, q])
                       for q in range(n_fine)]
             hc = hshape(csb)
             hf = hc / 2.0
@@ -532,7 +542,11 @@ def euler_rhs_grid(
         if _PALLAS_RHS == "1" and not ok:
             raise ValueError("IBX_PALLAS_RHS=1 but configuration is not "
                              "Pallas-eligible")
-        if ok:
+        # "auto" engages on TPU only: on CPU the kernels run in interpret
+        # mode (fine for the direct parity tests, far too slow to sneak
+        # into the virtual-mesh sharding tests / driver dryrun)
+        if ok and (_PALLAS_RHS == "1"
+                   or jax.default_backend() == "tpu"):
             return euler_rhs_grid_pallas(
                 bt, fluid, P3, high_order=high_order, with_dt=with_dt,
                 cfl=cfl)

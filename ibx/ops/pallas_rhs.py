@@ -154,10 +154,13 @@ def _shifts(bs: int):
 
 def _kernel_a(fluid_consts, bs, nd, with_dt,
               meta_ref, nbr_ref, P_ref,
-              nx0, nx1, ny0, ny1, nz0, nz1, out_ref):
-    """Per-block pass A.  Out channels: du (nd*5 signed gradients), then
-    per-dim G (signed fd sum), U (|fd| sum), and — with_dt — sf sum.
-    Matches `block_ops.euler_rhs_grid` face_A exactly per face.
+              nx0, nx1, ny0, ny1, nz0, nz1, du_ref, aux_ref):
+    """Per-block pass A.  Outputs: du (nd*5 signed gradients) and an aux
+    grid of per-dim G (signed fd sum), U (|fd| sum), and — with_dt — sf
+    sum.  (Two outputs, not one: the downstream consumers slice du and
+    aux apart, and an XLA slice of a fused [21ch] array costs ~1.2 ms at
+    bench scale.)  Matches `block_ops.euler_rhs_grid` face_A exactly per
+    face.
     """
     del nbr_ref
     gamma, R = fluid_consts
@@ -187,17 +190,16 @@ def _kernel_a(fluid_consts, bs, nd, with_dt,
         du = (Pf_p - Pf_m) / h
         G = (fd_p - fd_m) / h
         U = (jnp.abs(fd_p) + jnp.abs(fd_m)) / h
-        out_ref[0, d * C:(d + 1) * C] = du
-        out_ref[0, nd * C + d:nd * C + d + 1] = G
-        out_ref[0, nd * C + nd + d:nd * C + nd + d + 1] = U
+        du_ref[0, d * C:(d + 1) * C] = du
+        aux_ref[0, d:d + 1] = G
+        aux_ref[0, nd + d:nd + d + 1] = U
         if with_dt:
             S = jnp.abs(P[2 + d:3 + d]) + a
             Sm = jnp.abs(Pm[2 + d:3 + d]) + sound(Pm[1:2])
             Sp = jnp.abs(Pp[2 + d:3 + d]) + sound(Pp[1:2])
             sf_m = (Sm * h + S * h) / (h + h) * ml
             sf_p = (S * h + Sp * h) / (h + h) * mr
-            out_ref[0, nd * C + 2 * nd + d:nd * C + 2 * nd + d + 1] = (
-                sf_p + sf_m) / h
+            aux_ref[0, 2 * nd + d:2 * nd + d + 1] = (sf_p + sf_m) / h
 
 
 # ---------------------------------------------------------------------------
@@ -331,20 +333,24 @@ def _nbspec(bs, ch, k, cblk=None):
 
 
 def run_kernel_a(bt: BlockTables, fluid: Fluid, Pc, *, with_dt: bool):
+    """Returns (du_cs [B, nd*5, ..], aux_cs [B, (2|3)*nd, ..])."""
     bs, nd, B = bt.block_size, bt.nd, bt.n_blocks
-    n_out = nd * 5 + (3 if with_dt else 2) * nd
+    n_aux = (3 if with_dt else 2) * nd
     consts = (float(fluid.gamma), float(fluid.R))
     kern = functools.partial(_kernel_a, consts, bs, nd, with_dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[_own(bs, 5)] + [_nbspec(bs, 5, k) for k in range(6)],
-        out_specs=_own(bs, n_out),
+        out_specs=(_own(bs, nd * 5), _own(bs, n_aux)),
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_out, bs, bs * bs), Pc.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nd * 5, bs, bs * bs), Pc.dtype),
+            jax.ShapeDtypeStruct((B, n_aux, bs, bs * bs), Pc.dtype),
+        ),
         interpret=_interpret(),
     )(_meta(bt), _nbr_table(bt), Pc, *([Pc] * 6))
 
@@ -378,6 +384,34 @@ def run_kernel_b(bt: BlockTables, fluid: Fluid, Pc, du_cs, nu_cs, *,
 # ---------------------------------------------------------------------------
 # XLA glue: corrections + sensor assembly + full RHS
 # ---------------------------------------------------------------------------
+
+def _cs_edge_fetch(bt: BlockTables, arrays_cs, d: int, extra_fn=None):
+    """edge_fetch for `block_ops.interface_corrections` over channel-split
+    operands: gather the (few) interface block rows whole, slice the
+    side-``s`` edge plane, return channel-LAST [V, lat.., Ktot] — avoids
+    materializing cell-major grids of every part just to read planes."""
+    bs = bt.block_size
+
+    def fetch(s, blocks):
+        e = bs - 1 if s else 0
+        outs = []
+        for Xc in arrays_cs:
+            flat = Xc.reshape(Xc.shape[0], -1)
+            V = blocks.shape[0]
+            rows = jnp.take(flat, blocks, axis=0)
+            X5 = rows.reshape(V, Xc.shape[1], bs, bs, bs)
+            if d == 2:
+                plane = X5[:, :, e]
+            elif d == 1:
+                plane = X5[:, :, :, e]
+            else:
+                plane = X5[..., e]
+            outs.append(plane.transpose(0, 2, 3, 1))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        return out if extra_fn is None else extra_fn(out)
+
+    return fetch
+
 
 def _has_ifc(bt: BlockTables, d: int) -> bool:
     return bool(bt.fs_block[d][0].shape[0] or bt.fs_block[d][1].shape[0]
@@ -454,19 +488,27 @@ def euler_rhs_grid_pallas(
     nd, bs, B = bt.nd, bt.block_size, bt.n_blocks
     ncomp = P3.shape[-1]
     Pc = cs_split(bt, P3)
-    A = run_kernel_a(bt, fluid, Pc, with_dt=with_dt)
+    du_cs, aux = run_kernel_a(bt, fluid, Pc, with_dt=with_dt)
 
-    # 2:1 interface corrections for pass A (XLA; identical machinery)
+    # 2:1 interface corrections for pass A (XLA; identical machinery —
+    # planes are fetched from the gathered interface block rows of the
+    # channel-split operands, never via cell-major grid materialization)
     nA = ncomp + (3 if with_dt else 2)
     signedA = [1.0] * (ncomp + 1) + [0.0] * (2 if with_dt else 1)
     if any(_has_ifc(bt, d) for d in range(nd)):
-        a3 = jnp.sqrt(fluid.gamma * fluid.R
-                      * jnp.clip(P3[..., 1], 10.0, None))
-        S3 = jnp.abs(P3[..., 2:2 + nd]) + a3[..., None]
         for d in range(nd):
             if not _has_ifc(bt, d):
                 continue
-            partsA = (P3, S3[..., d:d + 1]) if with_dt else (P3,)
+            if with_dt:
+                def extraA(pp, d=d):
+                    aa = jnp.sqrt(fluid.gamma * fluid.R
+                                  * jnp.clip(pp[..., 1], 10.0, None))
+                    Sd = jnp.abs(pp[..., 2 + d]) + aa
+                    return jnp.concatenate([pp, Sd[..., None]], axis=-1)
+            else:
+                extraA = None
+            fetchA = _cs_edge_fetch(bt, [Pc], d, extra_fn=extraA)
+            partsA = ((P3, P3[..., :1]) if with_dt else (P3,))
 
             def face_A(Wo, Wn, ho, hn):
                 Po, Pn = Wo[0], Wn[0]
@@ -478,25 +520,25 @@ def euler_rhs_grid_pallas(
                     out.append((So * hn + Sn * ho) / (ho + hn))
                 return jnp.concatenate(out, axis=-1)
 
+            # partsA's S entry is a width-1 dummy: with edge_fetch set,
+            # the parts only fix the face_fn's channel split widths
             cols = bo.interface_corrections(bt, d, partsA, face_A, nA,
-                                            signedA)
+                                            signedA, edge_fetch=fetchA)
             if cols is None:
                 continue
-            # cols channels: [du(5), G, U (, sf)] -> kernel-A channels
-            csl = [(0, (d * 5, (d + 1) * 5)),
-                   (5, (nd * 5 + d, nd * 5 + d + 1)),
-                   (6, (nd * 5 + nd + d, nd * 5 + nd + d + 1))]
+            # cols channels: [du(5), G, U (, sf)] -> kernel-A outputs
+            sub = [None if c is None else c[..., 0:5] for c in cols]
+            du_cs = _cols_add_cs(bt, du_cs, sub, d, d * 5, (d + 1) * 5)
+            csl = [(5, (d, d + 1)), (6, (nd + d, nd + d + 1))]
             if with_dt:
-                csl.append((7, (nd * 5 + 2 * nd + d,
-                                nd * 5 + 2 * nd + d + 1)))
+                csl.append((7, (2 * nd + d, 2 * nd + d + 1)))
             for src0, (c0, c1) in csl:
                 sub = [None if c is None else c[..., src0:src0 + (c1 - c0)]
                        for c in cols]
-                A = _cols_add_cs(bt, A, sub, d, c0, c1)
+                aux = _cols_add_cs(bt, aux, sub, d, c0, c1)
 
-    du_cs = A[:, :nd * 5]
-    Gs = A[:, nd * 5:nd * 5 + nd]
-    Us = A[:, nd * 5 + nd:nd * 5 + 2 * nd]
+    Gs = aux[:, :nd]
+    Us = aux[:, nd:2 * nd]
     nu_cs = jnp.full((B, 1, bs, bs * bs), 1e-7, dtype=P3.dtype)
     for d in range(nd):
         nu_cs = jnp.maximum(
@@ -508,15 +550,12 @@ def euler_rhs_grid_pallas(
 
     # 2:1 corrections for pass B (cell-major add, as in face_accumulate)
     if any(_has_ifc(bt, d) for d in range(nd)):
-        du3 = None
-        nu3 = cs_merge(bt, nu_cs)
         signedB = [1.0] * ncomp
         for d in range(nd):
             if not _has_ifc(bt, d):
                 continue
-            if du3 is None:
-                du3 = [cs_merge(bt, du_cs[:, dd * 5:(dd + 1) * 5])
-                       for dd in range(nd)]
+            fetchB = _cs_edge_fetch(
+                bt, [Pc, du_cs[:, d * 5:(d + 1) * 5], nu_cs], d)
 
             def face_B(Wo, Wn, ho, hn, d=d):
                 Po, Pn = Wo[0], Wn[0]
@@ -538,8 +577,10 @@ def euler_rhs_grid_pallas(
                 from ..physics.flux import inviscid_fluxes_hll
                 return -inviscid_fluxes_hll(fluid, PL, PR, d)
 
+            # width-fixing dummies (edge_fetch supplies the real planes)
             cols = bo.interface_corrections(
-                bt, d, (P3, du3[d], nu3), face_B, ncomp, signedB)
+                bt, d, (P3, P3, P3[..., :1]), face_B, ncomp, signedB,
+                edge_fetch=fetchB)
             if cols is None:
                 continue
             ax = bo._axis(bt, d)
@@ -554,7 +595,7 @@ def euler_rhs_grid_pallas(
                                     jnp.expand_dims(cols[1], ax), 0.0)
 
     if with_dt:
-        sfs = A[:, nd * 5 + 2 * nd:nd * 5 + 3 * nd]
+        sfs = aux[:, 2 * nd:3 * nd]
         dtb = sfs[:, 0] + sfs[:, 1] + sfs[:, 2]
         dt3 = (cfl / dtb).reshape((B,) + (bs,) * nd)
         du3 = [cs_merge(bt, du_cs[:, d * 5:(d + 1) * 5]) for d in range(nd)]

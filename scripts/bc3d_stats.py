@@ -34,7 +34,7 @@ def main():
 
     from ibx.topology.blocked_bc import build_blocked_bc
 
-    bbc = build_blocked_bc(dom, ["farfield", "wall"], row_gather=False)
+    bbc = build_blocked_bc(dom, ["farfield", "wall"])
     bs = int(bbc.bs)
     G = int(bbc.ghosts.shape[0])
     print(f"G(general path)={G} n_patch={bbc.n_patch} n_fb={bbc.n_fb} "
