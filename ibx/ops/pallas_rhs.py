@@ -281,27 +281,53 @@ def _kernel_b(fluid_consts, bs, nd, high_order,
     nu = nu_ref[0]
     C = 5
     b = pl.program_id(0)
+
+    def face(d, h, Wo, Wn):
+        return _face_b(gamma, R, high_order, d, h,
+                       Wo[0:5], Wn[0:5], Wo[5:10], Wn[5:10],
+                       Wo[10:11], Wn[10:11])
+
     acc = None
     for d in range(nd):
         h = meta_ref[d, b]
         ev_l = jnp.where(edge_mask(d, 0), meta_ref[3 + 2 * d, b], 1.0)
-        ev_r = jnp.where(edge_mask(d, 1), meta_ref[4 + 2 * d, b], 1.0)
         bnd_l = meta_ref[9 + 2 * d, b]
         bnd_r = meta_ref[9 + 2 * d + 1, b]
         du = du_ref[0, d * C:(d + 1) * C]
         W = jnp.concatenate([P, du, nu], axis=0)       # [11, bs, bs*bs]
         NB_l = jnp.concatenate(
             [nbP[d][0][0], nbD[d][0][0], nbU[d][0][0]], axis=0)
-        NB_r = jnp.concatenate(
-            [nbP[d][1][0], nbD[d][1][0], nbU[d][1][0]], axis=0)
         Wm = sh_m(W, NB_l, d, bnd_l)
-        Wp = sh_p(W, NB_r, d, bnd_r)
-        Fm = _face_b(gamma, R, high_order, d, h,
-                     Wm[0:5], W[0:5], Wm[5:10], W[5:10],
-                     Wm[10:11], W[10:11]) * ev_l
-        Fp = _face_b(gamma, R, high_order, d, h,
-                     W[0:5], Wp[0:5], W[5:10], Wp[5:10],
-                     W[10:11], Wp[10:11]) * ev_r
+        Fm = face(d, h, Wm, W) * ev_l
+        if d == 0:
+            # x (minor lanes): a plus-face array is a second full eval on
+            # the rolled operands (a strided-lane patch is not a vector op)
+            NB_r = jnp.concatenate(
+                [nbP[d][1][0], nbD[d][1][0], nbU[d][1][0]], axis=0)
+            ev_r = jnp.where(edge_mask(d, 1), meta_ref[4 + 2 * d, b], 1.0)
+            Wp = sh_p(W, NB_r, d, bnd_r)
+            Fp = face(d, h, W, Wp) * ev_r
+        else:
+            # z/y: every interior plus face IS the next cell's minus face
+            # — shift the (masked-at-slot-0) Fm and evaluate the flux only
+            # on the far edge plane (1/bs of the work)
+            ev_r = meta_ref[4 + 2 * d, b]
+            if d == 2:
+                own = W[:, bs - 1:, :]
+                nb = jnp.concatenate(
+                    [nbP[d][1][0][:, :1, :], nbD[d][1][0][:, :1, :],
+                     nbU[d][1][0][:, :1, :]], axis=0)
+                edge = jnp.where(bnd_r > 0, own, nb)
+                patch = face(d, h, own, edge) * ev_r
+                Fp = jnp.concatenate([Fm[:, 1:, :], patch], axis=1)
+            else:
+                own = W[:, :, bs * (bs - 1):]
+                nb = jnp.concatenate(
+                    [nbP[d][1][0][:, :, :bs], nbD[d][1][0][:, :, :bs],
+                     nbU[d][1][0][:, :, :bs]], axis=0)
+                edge = jnp.where(bnd_r > 0, own, nb)
+                patch = face(d, h, own, edge) * ev_r
+                Fp = jnp.concatenate([Fm[:, :, bs:], patch], axis=2)
         Rd = (Fp - Fm) / h
         acc = Rd if acc is None else acc + Rd
     out_ref[0] = acc

@@ -79,6 +79,12 @@ class BlockedBC:
     tile_mask: jnp.ndarray     # f32[E, 16] 1 on ghost slots
     ovf_src: jnp.ndarray       # int32[O] g rows of overflow ghosts
     ovf_dst: jnp.ndarray       # int32[O] (e * 16 + slot) of those ghosts
+    # block-granular write-back tables (see `_write_xla`): the RMW runs
+    # on the SAME [B, bs^nd * C] block-row view the dense-plane path
+    # uses, so XLA keeps one layout for the state across the BC
+    gblk: jnp.ndarray          # int32[Bw] ghost-bearing block ids
+    tile_loc: jnp.ndarray      # int32[E] rank(blk)*n_tiles + tile
+    blk_mask: jnp.ndarray      # f32[Bw, bs^nd] 1 on ghost slots
     # dense-plane hypercube fast path (one entry per (family, face)):
     # conforming farfield ghost planes are computed as static plane
     # algebra over gathered boundary-block rows — zero narrow gathers,
@@ -122,11 +128,20 @@ class BlockedBC:
             parts.append((patch * self.patch_w[..., None]).sum(axis=1))
         if self.n_fb:
             # flat full-row takes (the block grid reshapes to [N, C] for
-            # free; 1 x C rows are the fast TPU gather shape)
+            # free; 1 x C rows are the fast TPU gather shape). One take
+            # per stencil POINT, chained into the weighted sum: the
+            # single [Uf*K]-row take materializes a [Uf, K, C] cube whose
+            # reduction XLA lowers through a [C, Uf, K] relayout
+            # (~1 ms/application at bench scale); the chained form fuses
+            # each gather straight into its multiply-add.
             P_flat = P3.reshape(-1, C)
-            pts = jnp.take(P_flat, self.fb_cell, axis=0).reshape(
-                self.n_fb, self.fb_width, C)
-            parts.append((pts * self.fb_w[..., None]).sum(axis=1))
+            cells = self.fb_cell.reshape(self.n_fb, self.fb_width)
+            acc = None
+            for k in range(self.fb_width):
+                t = jnp.take(P_flat, cells[:, k], axis=0) \
+                    * self.fb_w[:, k:k + 1]
+                acc = t if acc is None else acc + t
+            parts.append(acc)
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     def place(self, g):
@@ -291,24 +306,36 @@ class BlockedBC:
         E = int(self.tile_gid.shape[0])
         if E == 0:
             return P3
-        # tile-level read-modify-write on the [B * n_tiles, 16 * C] row
-        # view of the state (a free reshape): 16C-wide sorted-row gather +
-        # mask-merge + 16C-wide sorted-row scatter over ONLY the
-        # ghost-containing tiles. Chunked so the fused gather+where+scatter
-        # stack buffer stays well under the 16MB scoped-VMEM limit.
-        view = P3.reshape(-1, 16 * C)
-        per = max(1, (2 << 20) // (16 * C * 4))
-        for i0 in range(0, E, per):
-            i1 = min(i0 + per, E)
-            gid = lax.slice_in_dim(self.tile_gid, i0, i1)
-            old = jnp.take(view, gid, axis=0).reshape(i1 - i0, 16, C)
+        # BLOCK-granular read-modify-write on the [B, bs^nd * C] row view
+        # — the same view the dense-plane writes use, so XLA assigns ONE
+        # layout to the state across the whole BC (the round-3
+        # tile-granular [B*n_tiles, 16C] view made XLA relayout the full
+        # 106 MB state twice per application, ~5 ms/step at bench scale).
+        # The placed tiles scatter into a compact [Bw, bs^nd, C] buffer
+        # first (E sorted unique 16C-wide rows), then Bw whole block rows
+        # RMW the state. Chunked so the fused gather+where+scatter stack
+        # stays under the scoped-VMEM limit.
+        npb = self.bs ** self.nd
+        n_tiles = npb // 16
+        Bw = int(self.gblk.shape[0])
+        dense = jnp.zeros((Bw * n_tiles, 16 * C), g.dtype).at[
+            self.tile_loc].set(
+            placed.reshape(E, 16 * C),
+            unique_indices=True, indices_are_sorted=True,
+        ).reshape(Bw, npb, C)
+        view = P3.reshape(P3.shape[0], npb * C)
+        per = max(1, (8 << 20) // (npb * C * 4))
+        for i0 in range(0, Bw, per):
+            i1 = min(i0 + per, Bw)
+            rows = lax.slice_in_dim(self.gblk, i0, i1)
+            old = jnp.take(view, rows, axis=0).reshape(i1 - i0, npb, C)
             # where(), not blend-by-multiply: NaN in non-ghost placed
             # slots must not contaminate the kept state
             new = jnp.where(
-                lax.slice_in_dim(self.tile_mask, i0, i1)[..., None] > 0,
-                lax.slice_in_dim(placed, i0, i1), old)
-            view = view.at[gid].set(
-                new.reshape(i1 - i0, 16 * C),
+                lax.slice_in_dim(self.blk_mask, i0, i1)[..., None] > 0,
+                lax.slice_in_dim(dense, i0, i1), old)
+            view = view.at[rows].set(
+                new.reshape(i1 - i0, npb * C),
                 unique_indices=True, indices_are_sorted=True,
             )
         return view.reshape(P3.shape)
@@ -427,50 +454,55 @@ def build_blocked_bc(dom, names: Sequence[str],
         p0 = c0[ar, d_ax]
         p1 = c1[ar, d_ax]
         w0 = w_f[:, 0]
+        key = (p0.astype(np.int64) * npb + p1) * (1 << 32) \
+            + np.ascontiguousarray(w0).view(np.uint32)
         for d in range(nd):
             for s in (False, True):
-                m = conf & (d_ax == d) & (side == s)
-                if m.sum() < 4 * bs ** (nd - 1):
+                mf = conf & (d_ax == d) & (side == s)
+                if mf.sum() < 4 * bs ** (nd - 1):
                     continue
-                # majority template (p0, p1, w0 bits) over the face; the
-                # template is shared by all layers (one image per column)
-                key = (p0.astype(np.int64) * npb + p1) * (1 << 32) \
-                    + np.ascontiguousarray(w0).view(np.uint32)
-                vals, cnts = np.unique(key[m], return_counts=True)
-                tkey = vals[cnts.argmax()]
-                m = m & (key == tkey)
-                # per-layer eta must be single-valued (scale-invariant:
-                # eta = (l+.5)/(1.5*sqrt(nd))); drop deviating ghosts
-                eta_f = np.ascontiguousarray(eta[fsel], np.float32)
-                eta_u32 = eta_f.view(np.uint32)
-                for l in np.unique(layer[m]):
-                    ml = m & (layer == l)
-                    ev, ec = np.unique(eta_u32[ml], return_counts=True)
-                    m &= ~(ml & (eta_u32 != ev[ec.argmax()]))
-                layers = [int(l) for l in np.unique(layer[m])]
-                if not layers or m.sum() < 4 * bs ** (nd - 1):
-                    continue
-                etas = [float(eta_f[m & (layer == l)][0]) for l in layers]
-                mi = np.nonzero(m)[0]
-                blocks = np.unique(blk_f[mi])
-                b2r = {int(b): r for r, b in enumerate(blocks)}
-                Lh = len(layers)
-                l2i = {l: i for i, l in enumerate(layers)}
-                mask = np.zeros((blocks.size, Lh) + (bs,) * (nd - 1),
-                                np.float32)
-                lat_dims = [k for k in range(nd - 1, -1, -1) if k != d]
-                for gi in mi:
-                    pos = tuple(int(coords[gi, k]) for k in lat_dims)
-                    mask[(b2r[int(blk_f[gi])], l2i[int(layer[gi])])
-                         + pos] = 1.0
-                dense_rows_l.append(blocks.astype(np.int32))
-                dense_mask_l.append(mask)
-                dense_spec_l.append((
-                    int(fam_i), int(d), bool(s), tuple(layers),
-                    int(p0[mi[0]]), int(p1[mi[0]]), float(w0[mi[0]]),
-                    float(w_f[mi[0], 1]), tuple(etas),
-                ))
-                dense_sel[fsel[mi]] = True
+                # one dense group per (p0, p1, w0-bits) template over the
+                # face — octrees with several block sizes at the boundary
+                # produce one template per size octave, and EVERY large
+                # one must go dense (the round-3 majority-only selection
+                # left ~46k conforming farfield ghosts on the 5.3M sphere
+                # to the general gather path)
+                vals, cnts = np.unique(key[mf], return_counts=True)
+                for tkey in vals[cnts >= 4 * bs ** (nd - 1)]:
+                    m = mf & (key == tkey)
+                    # per-layer eta must be single-valued (scale-invariant:
+                    # eta = (l+.5)/(1.5*sqrt(nd))); drop deviating ghosts
+                    eta_f = np.ascontiguousarray(eta[fsel], np.float32)
+                    eta_u32 = eta_f.view(np.uint32)
+                    for l in np.unique(layer[m]):
+                        ml = m & (layer == l)
+                        ev, ec = np.unique(eta_u32[ml], return_counts=True)
+                        m &= ~(ml & (eta_u32 != ev[ec.argmax()]))
+                    layers = [int(l) for l in np.unique(layer[m])]
+                    if not layers or m.sum() < 4 * bs ** (nd - 1):
+                        continue
+                    etas = [float(eta_f[m & (layer == l)][0])
+                            for l in layers]
+                    mi = np.nonzero(m)[0]
+                    blocks = np.unique(blk_f[mi])
+                    b2r = {int(b): r for r, b in enumerate(blocks)}
+                    Lh = len(layers)
+                    l2i = {l: i for i, l in enumerate(layers)}
+                    mask = np.zeros((blocks.size, Lh) + (bs,) * (nd - 1),
+                                    np.float32)
+                    lat_dims = [k for k in range(nd - 1, -1, -1) if k != d]
+                    for gi in mi:
+                        pos = tuple(int(coords[gi, k]) for k in lat_dims)
+                        mask[(b2r[int(blk_f[gi])], l2i[int(layer[gi])])
+                             + pos] = 1.0
+                    dense_rows_l.append(blocks.astype(np.int32))
+                    dense_mask_l.append(mask)
+                    dense_spec_l.append((
+                        int(fam_i), int(d), bool(s), tuple(layers),
+                        int(p0[mi[0]]), int(p1[mi[0]]), float(w0[mi[0]]),
+                        float(w_f[mi[0], 1]), tuple(etas),
+                    ))
+                    dense_sel[fsel[mi]] = True
     if dense_sel.any():
         keep = ~dense_sel
         ghosts = ghosts[keep]
@@ -634,6 +666,14 @@ def build_blocked_bc(dom, names: Sequence[str],
             [g2e[int(b) * n_tiles + int(wi) // 16]
              for b, wi in zip(blk_c, within_c)])
         tile_mask[e_of_ghost, within_c % 16] = 1.0
+        gblk = np.unique(gids // n_tiles)
+        brank = {int(b): r for r, b in enumerate(gblk)}
+        tile_loc = np.asarray(
+            [brank[int(gg) // n_tiles] * n_tiles + int(gg) % n_tiles
+             for gg in gids], np.int32)
+        blk_mask = np.zeros((gblk.size * n_tiles, 16), np.float32)
+        blk_mask[tile_loc] = tile_mask
+        blk_mask = blk_mask.reshape(gblk.size, npb)
     else:
         gids = np.zeros((0,), np.int64)
         tile_row = np.zeros((0, 1), np.int32)
@@ -642,6 +682,9 @@ def build_blocked_bc(dom, names: Sequence[str],
         ovf_src = np.zeros(0, np.int32)
         ovf_dst = np.zeros(0, np.int32)
         tile_mask = np.zeros((0, 16), np.float32)
+        gblk = np.zeros(0, np.int64)
+        tile_loc = np.zeros(0, np.int32)
+        blk_mask = np.zeros((0, npb), np.float32)
 
     bc = BlockedBC(
         patch_start=patch_start,
@@ -661,6 +704,9 @@ def build_blocked_bc(dom, names: Sequence[str],
         tile_mask=tile_mask,
         ovf_src=ovf_src,
         ovf_dst=ovf_dst,
+        gblk=gblk.astype(np.int32),
+        tile_loc=tile_loc,
+        blk_mask=blk_mask,
         dense_rows=tuple(jnp.asarray(r) for r in dense_rows_l),
         dense_mask=tuple(jnp.asarray(m) for m in dense_mask_l),
         dense_spec=tuple(dense_spec_l),
