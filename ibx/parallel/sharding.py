@@ -6,10 +6,13 @@ threads, refreshing halos implicitly through shared host memory
 device's HBM; a residual evaluation is one ``shard_map`` over a 1-D device
 mesh in which
 
-  1. each device slices the cells other partitions need out of its owned
-     block (static ``send_idx`` table),
-  2. one ``all_gather`` over ICI moves all send buffers everywhere,
-  3. each device gathers its skirt rows out of the gathered buffer
+  1. each device slices the cells its ring-offset-``o`` neighbor needs out
+     of its owned block (static per-offset ``send_idx_pp`` tables),
+  2. one ``lax.ppermute`` per ACTIVE ring offset moves each send buffer to
+     its neighbor over ICI (contiguous partitions are spatially coherent,
+     so only a few offsets carry traffic — exchanged volume is bounded by
+     skirt size, not by an all_gather of everything),
+  3. each device gathers its skirt rows out of the received buffers
      (static ``skirt_src`` table) and concatenates them after its owned rows,
   4. the user kernel runs on the domain-shaped local block,
   5. owned rows (the first ``n_own``) are kept; skirt results are discarded.
@@ -80,36 +83,53 @@ class ShardedDomain:
         self.n_dom = n_dom_max
 
         # ---- halo tables -------------------------------------------------
-        # send_sets[q]: local (owned) indices partition q must export
-        send_sets: List[np.ndarray] = []
-        for q in range(P):
-            need = []
-            for p in range(P):
-                if p == q:
-                    continue
-                skirt = dom.part_domain[p][dom.partitions[p].n_own:]
-                lo, hi = q * self.n_own, (q + 1) * self.n_own
-                sel = skirt[(skirt >= lo) & (skirt < hi)]
-                need.append(sel - lo)
-            need = (np.unique(np.concatenate(need))
-                    if need else np.empty(0, np.int64))
-            send_sets.append(need)
-        S_max = max(1, max(s.size for s in send_sets))
+        # Neighbor ppermute exchange (SURVEY §2.2/§5): per ordered pair
+        # (q -> p), the owned rows of q that p's skirt needs; pairs are
+        # grouped by ring offset o = (p - q) mod P so each active offset
+        # becomes ONE `lax.ppermute` of a fixed-shape send buffer.  With
+        # contiguous spatially-coherent partitions only a handful of
+        # offsets carry traffic, so the exchanged volume is bounded by the
+        # skirt size — unlike the old all_gather of every send buffer
+        # (reference shares halos through host memory,
+        # ``src/ImmersedBoundary.jl:836-842``; there is no comm layer to
+        # mirror, so this is the ICI-native design).
+        pair_rows: Dict[tuple, np.ndarray] = {}
+        for p in range(P):
+            skirt = np.asarray(dom.part_domain[p][dom.partitions[p].n_own:])
+            qs = skirt // self.n_own
+            for q in np.unique(qs):
+                sel = skirt[qs == q] - int(q) * self.n_own
+                pair_rows[(int(q), p)] = np.unique(sel)
 
-        send_idx = np.zeros((P, S_max), dtype=np.int32)
-        send_pos = []  # per q: map local-own-index -> slot in send buffer
-        for q, s in enumerate(send_sets):
-            send_idx[q, : s.size] = s
-            pos = {int(l): i for i, l in enumerate(s)}
-            send_pos.append(pos)
+        offsets = sorted({(p - q) % P for (q, p) in pair_rows})
+        send_idx_pp: List[np.ndarray] = []
+        base: List[int] = []
+        pos_maps: List[List[dict]] = []
+        slot0 = 0
+        for o in offsets:
+            rows = [pair_rows.get((q, (q + o) % P), np.empty(0, np.int64))
+                    for q in range(P)]
+            S_o = max(1, max(r.size for r in rows))
+            idx_o = np.zeros((P, S_o), dtype=np.int32)
+            pos_o = []
+            for q, r in enumerate(rows):
+                idx_o[q, : r.size] = r
+                pos_o.append({int(l): i for i, l in enumerate(r)})
+            send_idx_pp.append(idx_o)
+            pos_maps.append(pos_o)
+            base.append(slot0)
+            slot0 += S_o
+        self._offsets = tuple(offsets)
 
         skirt_src = np.zeros((P, n_dom_max - self.n_own), dtype=np.int32)
+        off_slot = {o: i for i, o in enumerate(offsets)}
         for p in range(P):
             skirt = dom.part_domain[p][dom.partitions[p].n_own:]
             for j, g in enumerate(skirt):
                 q = int(g) // self.n_own
                 l = int(g) - q * self.n_own
-                skirt_src[p, j] = q * S_max + send_pos[q][l]
+                i = off_slot[(p - q) % P]
+                skirt_src[p, j] = base[i] + pos_maps[i][q][l]
 
         # ---- stacked partition tables -------------------------------------
         def stack(getter, pad_fill=0):
@@ -194,7 +214,7 @@ class ShardedDomain:
 
         tables = dict(
             centers=centers, spacing=spacing, own_mask=own_mask,
-            send_idx=send_idx, skirt_src=skirt_src,
+            send_idx_pp=tuple(send_idx_pp), skirt_src=skirt_src,
             face_owner=tuple(face_owner), face_neighbor=tuple(face_neighbor),
             acc_l_idx=tuple(acc_l_idx), acc_l_w=tuple(acc_l_w),
             acc_r_idx=tuple(acc_r_idx), acc_r_w=tuple(acc_r_w),
@@ -276,9 +296,23 @@ class ShardedDomain:
 
     def _refresh(self, t, u_own):
         """Halo exchange: owned block [n_own, ...] -> domain block
-        [n_dom, ...]."""
-        send = jnp.take(u_own, t["send_idx"][0], axis=0)
-        allbuf = jax.lax.all_gather(send, "p", tiled=True)
+        [n_dom, ...].  One ``lax.ppermute`` per active ring offset; the
+        received buffers are concatenated and re-indexed into skirt order
+        by the static ``skirt_src`` table."""
+        P = self.n_partitions
+        bufs = []
+        for i, o in enumerate(self._offsets):
+            send = jnp.take(u_own, t["send_idx_pp"][i][0], axis=0)
+            if o == 0 or P == 1:
+                bufs.append(send)
+                continue
+            perm = [(q, (q + o) % P) for q in range(P)]
+            bufs.append(jax.lax.ppermute(send, "p", perm))
+        if not bufs:
+            return jnp.concatenate(
+                [u_own, jnp.zeros((0,) + u_own.shape[1:], u_own.dtype)],
+                axis=0)
+        allbuf = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs, axis=0)
         skirt = jnp.take(allbuf, t["skirt_src"][0], axis=0)
         return jnp.concatenate([u_own, skirt], axis=0)
 

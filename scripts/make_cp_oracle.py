@@ -35,6 +35,12 @@ CONFIGS = {
                   block_size=8, cfl=0.7),
     "flagship": dict(wall_h=5e-4, feature_h=2.5e-4, steps=40000,
                      block_size=16, cfl=0.7),
+    # bs-confound isolation arm (VERDICT r3 item 4): the flagship wall_h
+    # at block_size=8 — same resolution, different octree block layout.
+    # Seed from the committed xfine state (pre-write
+    # /tmp/rae2822_state_xfine.npz from tests/data/rae2822_cp_xfine.npz).
+    "flagship8": dict(wall_h=5e-4, feature_h=2.5e-4, steps=40000,
+                      block_size=8, cfl=0.7),
 }
 
 # late-march Cp snapshots to quantify the shock limit cycle (phase spread)

@@ -112,3 +112,23 @@ def test_collective_reductions(meshes):
     run = jax.jit(sdom.shard_fn(total_volume))
     (out,) = run(sdom.distribute(vol))
     np.testing.assert_allclose(sdom.collect(out)[0], 1.0, rtol=1e-5)
+
+
+def test_halo_exchange_is_neighbor_ppermute(meshes):
+    """The generic-path halo refresh must ride per-offset ppermutes with
+    traffic bounded by skirt size — not an all_gather of every send buffer
+    (VERDICT r3 item 8; SURVEY §2.2's comm contract)."""
+    _, dom8 = meshes
+    sdom = ShardedDomain(dom8, make_device_mesh(8))
+
+    jaxpr = str(jax.make_jaxpr(sdom.shard_fn(lambda ctx, u: u))(
+        sdom.distribute(np.zeros(sdom.ncells, np.float32))))
+    assert "ppermute" in jaxpr
+    assert "all_gather" not in jaxpr
+
+    # per-device received rows across all offsets stay within a small
+    # multiple of the (padded) skirt width
+    recv_rows = sum(np.asarray(t).shape[1]
+                    for t in sdom.tables["send_idx_pp"])
+    skirt = sdom.n_dom - sdom.n_own
+    assert recv_rows <= 2 * skirt + len(sdom._offsets)
