@@ -67,6 +67,7 @@ class Wing3dCase:
     Rt_inf: float
     march: Callable      # jitted (S_sh, n) -> S_sh      (sharded RK2)
     fas_cycle: Callable  # jitted (S_sh,) -> (S_sh, res) (V-cycle)
+    step: Callable       # jitted (S_sh,) -> (S_sh, res) (one RK2 step)
     S0_sh: jnp.ndarray   # sharded fused [P, chunk, bs.., nch+1] state
     collect: Callable    # sharded -> global flat numpy
 
@@ -281,6 +282,11 @@ def build_wing3d_rans_fas(
         S2, res = raw_cycle(S_sh, active_sh)
         return S2, res[0]
 
+    @jax.jit
+    def step(S_sh):
+        S2, res = raw_smooth(S_sh, active_sh)
+        return S2, res[0]
+
     # ---- initial state -----------------------------------------------------
     S0 = np.concatenate([
         np.tile(P_inf, (dom.ncells, 1)),
@@ -300,6 +306,6 @@ def build_wing3d_rans_fas(
 
     return Wing3dCase(
         dom=dom, sbd=sbd, fluid=fluid, P_inf=P_inf, Rt_inf=Rt_inf,
-        march=march, fas_cycle=fas_cycle, S0_sh=S0_sh,
+        march=march, fas_cycle=fas_cycle, step=step, S0_sh=S0_sh,
         collect=sbd.collect,
     )

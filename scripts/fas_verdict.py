@@ -1,0 +1,99 @@
+"""FAS verdict experiment (VERDICT r3 item 3): wall-clock to fixed
+residual drop on the subsonic M=0.4 RANS wing (workload 5) — the case
+geometric multigrid should win if it wins anywhere here (smooth flow, no
+shock; stiff near-wall spacing from the wall-function RANS mesh).
+
+Arms (same initial state, same chip, one case build reused):
+  rk2       plain TVD-RK2 local-dt smoothing
+  fas_kK    RK2 with one 2-level FAS V-cycle every K steps (the cycle
+            itself contains 2 smoothing steps; reference semantics
+            ``src/solver.jl:39-91``)
+  fas0_kK   control: same cycle cadence with n_coarse_iter=0 — the coarse
+            correction is exactly zero, isolating transfer/BC overhead
+            from the correction's contribution (separate build).
+
+Records (wall_s, resnorm = max |R_mass * dt|-ish from rans_rk2_grid) curves
+and prints wall-clock to reach res/res0 <= {0.3, 0.1, 0.03}.
+
+Usage: python scripts/fas_verdict.py [wall_h=0.06] [budget_s=240]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+
+sys.path.insert(0, "/root/repo")
+
+from ibx.cases.wing3d_rans_fas import build_wing3d_rans_fas  # noqa: E402
+
+WALL_H = float(sys.argv[1]) if len(sys.argv) > 1 else 0.06
+BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 240.0
+RECORD = 25          # steps per residual record
+TARGETS = (0.3, 0.1, 0.03)
+
+
+def run_arm(case, name, cycle_every=None, budget=BUDGET):
+    S = case.S0_sh
+    # warm up compiles outside the timed window
+    _ = case.step(S)
+    if cycle_every:
+        _ = case.fas_cycle(S)
+    jax.block_until_ready(_[0])
+
+    curve = []
+    t0 = time.time()
+    S, res0 = case.step(S)
+    steps = 1
+    since_cycle = 1
+    res = float(res0)
+    curve.append((0.0, res))
+    while time.time() - t0 < budget:
+        if cycle_every and since_cycle >= cycle_every:
+            S, r = case.fas_cycle(S)        # includes 2 smoothing steps
+            steps += 2
+            since_cycle = 0
+        else:
+            S = case.march(S, RECORD - 1)
+            S, r = case.step(S)
+            steps += RECORD
+            since_cycle += RECORD
+        jax.block_until_ready(S)
+        curve.append((time.time() - t0, float(r)))
+    res0 = curve[0][1]
+    out = {"arm": name, "res0": res0, "steps": steps,
+           "final_ratio": curve[-1][1] / res0}
+    for tgt in TARGETS:
+        hit = next((t for t, r in curve if r <= tgt * res0), None)
+        out[f"t_to_{tgt}"] = hit
+    print(json.dumps(out), flush=True)
+    return curve
+
+
+def main():
+    t0 = time.time()
+    case = build_wing3d_rans_fas(1, wall_h=WALL_H, span=1.0, farfield=8.0,
+                                 block_size=8, mach=0.4, n_coarse_iter=8)
+    print(f"cells={case.dom.ncells} build={time.time()-t0:.0f}s", flush=True)
+
+    curves = {}
+    curves["rk2"] = run_arm(case, "rk2")
+    for k in (100, 25):
+        curves[f"fas_k{k}"] = run_arm(case, f"fas_k{k}", cycle_every=k)
+
+    # control build: zero coarse iterations (correction == 0)
+    t0 = time.time()
+    case0 = build_wing3d_rans_fas(1, wall_h=WALL_H, span=1.0, farfield=8.0,
+                                  block_size=8, mach=0.4, n_coarse_iter=0)
+    print(f"control build={time.time()-t0:.0f}s", flush=True)
+    curves["fas0_k25"] = run_arm(case0, "fas0_k25", cycle_every=25)
+
+    np.savez("/tmp/fas_verdict_curves.npz",
+             **{k: np.asarray(v) for k, v in curves.items()})
+    print("curves -> /tmp/fas_verdict_curves.npz", flush=True)
+
+
+if __name__ == "__main__":
+    main()
