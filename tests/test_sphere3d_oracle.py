@@ -1,0 +1,116 @@
+"""Quantitative 3D accuracy oracle: M=0.2 Euler flow over the STL
+icosphere vs the incompressible potential-flow anchor (VERDICT r3 item 2).
+
+The committed oracle (tests/data/sphere3d_cp.npz, 663k cells at
+wall_h=0.05 / block_size=8, 30k TPU steps via
+scripts/make_sphere_cp_oracle.py) stores the converged surface Cp, the
+converged state (for the drift test), and the Cd history.
+
+Anchor: Cp(theta) = 1 - 9/4 sin^2(theta), theta measured from the
+stagnation (upstream-facing, -x) pole. Measured windward deviations
+(binned means over 15-degree cones from stagnation): -0.074 / -0.005 /
++0.133 for 0-15/15-30/30-45 degrees. Beyond ~45 degrees the solution
+departs from potential flow the way the 2D study documented
+(BASELINE.md round 3): the staircase ghost-cell wall sheds a numerical
+boundary layer and the flow separates into a steady wake — suction peak
+-0.83 vs the inviscid -1.25, partial rear-pole recovery Cp=+0.41, and a
+pressure drag Cd -> +0.249 instead of d'Alembert's 0. Those wake
+characteristics are asserted too: they are the scheme's converged 3D
+behavior, exercised to a number (reference 3D ghost machinery:
+/root/reference/src/ImmersedBoundary.jl:194-326).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+PATH = os.path.join(DATA, "sphere3d_cp.npz")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(PATH), reason="sphere3d oracle not generated")
+
+
+def _load():
+    d = np.load(PATH)
+    pts = np.asarray(d["points"], np.float64)
+    r = np.linalg.norm(pts, axis=1)
+    # phi = angle from the stagnation (upstream, -x) pole
+    mu = np.clip(-pts[:, 0] / r, -1.0, 1.0)
+    phi = np.degrees(np.arccos(mu))
+    anchor = 1.0 - 2.25 * (1.0 - mu**2)
+    return d, np.asarray(d["cp"], np.float64), phi, anchor
+
+
+def test_sphere3d_windward_cp_matches_potential_flow():
+    d, cp, phi, anchor = _load()
+    # stagnation: Cp_max ~ 1 (+1% compressibility at M=0.2, -few% mesh
+    # truncation at 10 cells/radius); measured 0.924 at phi=4.6 deg
+    assert 0.85 < cp.max() < 1.06, cp.max()
+    assert phi[np.argmax(cp)] < 15.0, phi[np.argmax(cp)]
+    # binned windward cone vs the anchor (bands ~2-3x the measured devs)
+    for lo, band in ((0, 0.15), (15, 0.12), (30, 0.25)):
+        m = (phi >= lo) & (phi < lo + 15)
+        dev = (cp[m] - anchor[m]).mean()
+        assert abs(dev) < band, (lo, dev)
+        # axisymmetry of the converged solution within each cone
+        assert cp[m].std() < 0.15, (lo, cp[m].std())
+    # monotone acceleration from stagnation through the windward cone
+    means = [cp[(phi >= lo) & (phi < lo + 15)].mean()
+             for lo in (0, 15, 30, 45, 60)]
+    assert all(a > b for a, b in zip(means, means[1:])), means
+
+
+def test_sphere3d_wake_character():
+    """The converged leeward flow is a steady separated wake — the 3D
+    instance of the documented staircase-wall mechanism, pinned to
+    numbers so a change in wall treatment shows up here."""
+    d, cp, phi, anchor = _load()
+    # suction peak: below the subcritical-real-flow level but well above
+    # the full inviscid -1.25 (measured -0.83)
+    assert -1.1 < cp.min() < -0.6, cp.min()
+    # partial rear-pole pressure recovery (measured +0.41 over 165-180
+    # deg from stagnation; full potential recovery would be +0.92)
+    rear = cp[phi > 165].mean()
+    assert 0.2 < rear < 0.7, rear
+    # pressure drag: steady and positive (d'Alembert would give ~0);
+    # measured +0.249 with the last 5 records within +/-0.004
+    cd = float(d["cd"])
+    assert 0.15 < cd < 0.35, cd
+    tail = np.asarray(d["hist"], np.float64)[-5:, 0]
+    assert np.ptp(tail) < 0.02, tail
+    assert abs(tail.mean() - cd) < 0.01, (tail.mean(), cd)
+
+
+@pytest.mark.slow
+def test_sphere3d_cp_drift_from_converged():
+    """Restart from the committed converged state and march 200 steps:
+    the surface Cp must reproduce (drift assertion, VERDICT r3 item 2).
+    Bands cover the residual slow wake creep measured over the oracle's
+    last 6k steps (Cp_min -0.821 -> -0.829, Cd +/-0.004)."""
+    import jax
+    import jax.numpy as jnp
+    from ibx.cases import build_sphere3d
+    from ibx.physics.fluid import pressure_coefficient
+
+    d = np.load(PATH)
+    meta = json.loads(str(d["meta"]))
+    case = build_sphere3d(
+        wall_h=meta["wall_h"], block_size=meta["block_size"],
+        mach=meta["mach"], cfl=meta["cfl"], surface_h=meta["surface_h"],
+        farfield=meta["farfield"])
+    assert case.dom.ncells == meta["cells"]
+    P = case.apply_bcs(jnp.asarray(d["P"]))
+    P = case.march(P, 200)
+    jax.block_until_ready(P)
+    Pn = np.asarray(P)
+    assert np.isfinite(Pn).all()
+    surf = case.dom.surfaces["wall"]
+    cp = np.asarray(pressure_coefficient(
+        case.fluid, np.asarray(surf(Pn[:, 0])), float(case.P_inf[0]),
+        case.mach))
+    dev = np.abs(cp - np.asarray(d["cp"]))
+    assert dev.mean() < 5e-3, dev.mean()
+    assert dev.max() < 5e-2, dev.max()
