@@ -32,11 +32,27 @@ from ibx.cases.wing3d_rans_fas import build_wing3d_rans_fas  # noqa: E402
 WALL_H = float(sys.argv[1]) if len(sys.argv) > 1 else 0.06
 BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 240.0
 RECORD = 25          # steps per residual record
-TARGETS = (0.3, 0.1, 0.03)
+TARGETS = (0.9, 0.7, 0.5, 0.3, 0.1)
 
 
-def run_arm(case, name, cycle_every=None, budget=BUDGET):
+def warmup(case, steps=4000):
+    """March past the impulsive-start transient (the residual RISES for
+    thousands of steps from freestream — measured round 4: +13% over
+    5.4k steps — so drop-to-target clocks started at S0 never trigger).
+    All arms restart from this shared quasi-steady state."""
     S = case.S0_sh
+    t0 = time.time()
+    for _ in range(steps // 500):
+        S = case.march(S, 500)
+    S, r = case.step(S)
+    jax.block_until_ready(S)
+    print(f"warmup {steps} steps: res={float(r):.4g} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    return S
+
+
+def run_arm(case, name, cycle_every=None, budget=BUDGET, S0=None):
+    S = case.S0_sh if S0 is None else S0
     # warm up compiles outside the timed window
     _ = case.step(S)
     if cycle_every:
@@ -78,17 +94,19 @@ def main():
                                  block_size=8, mach=0.4, n_coarse_iter=8)
     print(f"cells={case.dom.ncells} build={time.time()-t0:.0f}s", flush=True)
 
+    Sw = warmup(case)
     curves = {}
-    curves["rk2"] = run_arm(case, "rk2")
+    curves["rk2"] = run_arm(case, "rk2", S0=Sw)
     for k in (100, 25):
-        curves[f"fas_k{k}"] = run_arm(case, f"fas_k{k}", cycle_every=k)
+        curves[f"fas_k{k}"] = run_arm(case, f"fas_k{k}", cycle_every=k,
+                                      S0=Sw)
 
     # control build: zero coarse iterations (correction == 0)
     t0 = time.time()
     case0 = build_wing3d_rans_fas(1, wall_h=WALL_H, span=1.0, farfield=8.0,
                                   block_size=8, mach=0.4, n_coarse_iter=0)
     print(f"control build={time.time()-t0:.0f}s", flush=True)
-    curves["fas0_k25"] = run_arm(case0, "fas0_k25", cycle_every=25)
+    curves["fas0_k25"] = run_arm(case0, "fas0_k25", cycle_every=25, S0=Sw)
 
     np.savez("/tmp/fas_verdict_curves.npz",
              **{k: np.asarray(v) for k, v in curves.items()})

@@ -9,6 +9,8 @@ import sys
 import numpy as np
 import jax
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from ibx.cases import build_rae2822
 
 TRACE_DIR = "/tmp/ibx_trace"
