@@ -499,21 +499,27 @@ def _cols_add_cs(bt: BlockTables, Xc, cols, d: int, ch0: int, ch1: int):
     return out
 
 
-def euler_rhs_grid_pallas(
+def euler_rhs_cs(
     bt: BlockTables,
     fluid: Fluid,
-    P3,
+    Pc,
     *,
     high_order: bool = True,
     with_dt: bool = False,
-    cfl: float = 0.8,
 ):
-    """Drop-in fused-kernel counterpart of `block_ops.euler_rhs_grid` for
-    the 3D Euler configuration (no viscous/fix/cut/frozen).  Returns the
-    same (R3 [, dt3, frozen]) structure in cell-major layout."""
+    """Channel-split-native RHS: state in [B, C, bs, bs*bs] end to end.
+
+    Returns ``Rc`` (and, with ``with_dt``, the per-cell wave-speed bound
+    ``dtb_cs [B, 1, bs, bs*bs]`` — NOT yet cfl-scaled) without ever
+    materializing a cell-major grid: the round-4 trace showed the
+    cs_split/cs_merge transposes plus the cell-major correction adds cost
+    ~8 ms of the 71 ms sphere-bench step.  Numerics identical to
+    `euler_rhs_grid_pallas` (same kernels, same correction machinery —
+    pass-B corrections are applied with `_cols_add_cs` instead of the
+    cell-major iota-where; float-identical because both add the same
+    values to the same slots in one pass)."""
     nd, bs, B = bt.nd, bt.block_size, bt.n_blocks
-    ncomp = P3.shape[-1]
-    Pc = cs_split(bt, P3)
+    ncomp = Pc.shape[1]
     du_cs, aux = run_kernel_a(bt, fluid, Pc, with_dt=with_dt)
 
     # 2:1 interface corrections for pass A (XLA; identical machinery —
@@ -534,7 +540,11 @@ def euler_rhs_grid_pallas(
             else:
                 extraA = None
             fetchA = _cs_edge_fetch(bt, [Pc], d, extra_fn=extraA)
-            partsA = ((P3, P3[..., :1]) if with_dt else (P3,))
+            # width-fixing dummies: with edge_fetch set, the parts only
+            # fix the face_fn's channel-split widths (and dtype)
+            dumP = jnp.zeros((1, ncomp), Pc.dtype)
+            dum1 = jnp.zeros((1, 1), Pc.dtype)
+            partsA = ((dumP, dum1) if with_dt else (dumP,))
 
             def face_A(Wo, Wn, ho, hn):
                 Po, Pn = Wo[0], Wn[0]
@@ -565,16 +575,15 @@ def euler_rhs_grid_pallas(
 
     Gs = aux[:, :nd]
     Us = aux[:, nd:2 * nd]
-    nu_cs = jnp.full((B, 1, bs, bs * bs), 1e-7, dtype=P3.dtype)
+    nu_cs = jnp.full((B, 1, bs, bs * bs), 1e-7, dtype=Pc.dtype)
     for d in range(nd):
         nu_cs = jnp.maximum(
             nu_cs, (1e-7 + jnp.abs(Gs[:, d:d + 1]))
             / (1e-7 + Us[:, d:d + 1]))
 
     Rc = run_kernel_b(bt, fluid, Pc, du_cs, nu_cs, high_order=high_order)
-    R3 = cs_merge(bt, Rc)
 
-    # 2:1 corrections for pass B (cell-major add, as in face_accumulate)
+    # 2:1 corrections for pass B (channel-split add over all 5 channels)
     if any(_has_ifc(bt, d) for d in range(nd)):
         signedB = [1.0] * ncomp
         for d in range(nd):
@@ -604,27 +613,104 @@ def euler_rhs_grid_pallas(
                 return -inviscid_fluxes_hll(fluid, PL, PR, d)
 
             # width-fixing dummies (edge_fetch supplies the real planes)
+            dumP = jnp.zeros((1, ncomp), Pc.dtype)
+            dum1 = jnp.zeros((1, 1), Pc.dtype)
             cols = bo.interface_corrections(
-                bt, d, (P3, P3, P3[..., :1]), face_B, ncomp, signedB,
+                bt, d, (dumP, dumP, dum1), face_B, ncomp, signedB,
                 edge_fetch=fetchB)
             if cols is None:
                 continue
-            ax = bo._axis(bt, d)
-            ishape = [1] * R3.ndim
-            ishape[ax] = bs
-            iota = jax.lax.broadcasted_iota(jnp.int32, tuple(ishape), ax)
-            if cols[0] is not None:
-                R3 = R3 + jnp.where(iota == 0,
-                                    jnp.expand_dims(cols[0], ax), 0.0)
-            if cols[1] is not None:
-                R3 = R3 + jnp.where(iota == bs - 1,
-                                    jnp.expand_dims(cols[1], ax), 0.0)
+            Rc = _cols_add_cs(bt, Rc, cols, d, 0, ncomp)
 
     if with_dt:
         sfs = aux[:, 2 * nd:3 * nd]
-        dtb = sfs[:, 0] + sfs[:, 1] + sfs[:, 2]
-        dt3 = (cfl / dtb).reshape((B,) + (bs,) * nd)
+        dtb = sfs[:, 0:1] + sfs[:, 1:2] + sfs[:, 2:3]
+        return Rc, dtb, (du_cs, nu_cs)
+    return Rc
+
+
+def euler_rhs_grid_pallas(
+    bt: BlockTables,
+    fluid: Fluid,
+    P3,
+    *,
+    high_order: bool = True,
+    with_dt: bool = False,
+    cfl: float = 0.8,
+):
+    """Drop-in fused-kernel counterpart of `block_ops.euler_rhs_grid` for
+    the 3D Euler configuration (no viscous/fix/cut/frozen).  Returns the
+    same (R3 [, dt3, frozen]) structure in cell-major layout.  Thin
+    cell-major shim over `euler_rhs_cs` (the single-chip TPU march uses
+    the cs state directly via `rk2_step_cs`)."""
+    nd, bs, B = bt.nd, bt.block_size, bt.n_blocks
+    Pc = cs_split(bt, P3)
+    out = euler_rhs_cs(bt, fluid, Pc, high_order=high_order,
+                       with_dt=with_dt)
+    if with_dt:
+        Rc, dtb, (du_cs, nu_cs) = out
+        dt3 = (cfl / dtb[:, 0]).reshape((B,) + (bs,) * nd)
         du3 = [cs_merge(bt, du_cs[:, d * 5:(d + 1) * 5]) for d in range(nd)]
         nu3 = cs_merge(bt, nu_cs)
-        return R3, dt3, (du3, nu3)
-    return R3
+        return cs_merge(bt, Rc), dt3, (du3, nu3)
+    return cs_merge(bt, out)
+
+
+# ---------------------------------------------------------------------------
+# channel-split state transforms + RK2 step (single-chip TPU march path)
+# ---------------------------------------------------------------------------
+
+def p2s_cs(fluid: Fluid, Pc):
+    """`physics.fluid.primitive2state` with channels on axis 1
+    (``[B, C, bs, bs*bs]``); identical formulas (``src/cfd.jl:106-123``)."""
+    p = Pc[:, 0:1]
+    T = jnp.clip(Pc[:, 1:2], 10.0, None)
+    u = Pc[:, 2:]
+    kin = (u ** 2).sum(axis=1, keepdims=True) / 2
+    rho = p / (fluid.R * T)
+    E = rho * (fluid.R / (fluid.gamma - 1.0) * T + kin)
+    return jnp.concatenate([rho, E, rho * u], axis=1)
+
+
+def s2p_guarded_cs(fluid: Fluid, Qc, p_floor=1.0, u_max=3000.0,
+                   rho_floor=1e-6, p_ceil=1e9, T_ceil=2e4):
+    """`physics.fluid.state2primitive_guarded`, channel axis 1."""
+    rho = jnp.maximum(Qc[:, 0:1], rho_floor)
+    E = Qc[:, 1:2]
+    u = Qc[:, 2:] / rho
+    kin = (u ** 2).sum(axis=1, keepdims=True) / 2
+    p = (fluid.gamma - 1.0) * (E - rho * kin)
+    T = jnp.clip(p / (rho * fluid.R), 10.0, T_ceil)
+    vmag = jnp.sqrt((u ** 2).sum(axis=1, keepdims=True) + 1e-12)
+    scale = jnp.minimum(1.0, u_max / vmag)
+    return jnp.concatenate(
+        [jnp.clip(p, p_floor, p_ceil), T, u * scale], axis=1)
+
+
+def rk2_step_cs(
+    bt: BlockTables,
+    fluid: Fluid,
+    Pc,
+    apply_bcs_cs,
+    *,
+    cfl: float = 0.8,
+    high_order: bool = True,
+    active_cs=None,
+):
+    """Local-dt TVD-RK2 pseudo step on the channel-split state — the same
+    scheme as `block_ops.rk2_step_grid` (reference semantics
+    ``src/ImmersedBoundary.jl:873-1157``), with the state never leaving
+    the ``[B, C, bs, bs*bs]`` layout (the Pallas kernels' native shape).
+    ``apply_bcs_cs`` maps cs grid -> cs grid (`BlockedBC.cs`);
+    ``active_cs``: f32[B, 1, bs, bs*bs] 0/1 freeze mask."""
+    R0, dtb, _ = euler_rhs_cs(bt, fluid, Pc, high_order=high_order,
+                              with_dt=True)
+    dt = cfl / dtb
+    if active_cs is not None:
+        dt = dt * active_cs
+    Q0 = p2s_cs(fluid, Pc)
+    P1 = apply_bcs_cs(s2p_guarded_cs(fluid, Q0 + dt * R0))
+    R1 = euler_rhs_cs(bt, fluid, P1, high_order=high_order)
+    P2 = apply_bcs_cs(s2p_guarded_cs(fluid, Q0 + dt * (R0 + R1) / 2))
+    resnorm = jnp.abs(R0[:, 0]).max()
+    return P2, resnorm

@@ -63,6 +63,10 @@ class BlockedBC:
     patch_w: jnp.ndarray       # f32[Up, prod(win)*bs] scattered weights
     fb_cell: jnp.ndarray       # int32[Uf*K] flat cell ids per stencil point
     fb_w: jnp.ndarray          # f32[Uf, K]
+    # compact stencil band (cs mode): the unique blocks holding ANY fb
+    # stencil cell, and fb_cell remapped into that band's cell space
+    band_blocks: jnp.ndarray   # int32[Bband]
+    fb_cell_band: jnp.ndarray  # int32[Uf*K]
     g2u: jnp.ndarray           # int32[G] ghost -> unique stencil row
     # BC data (canonical ghost order: sorted by global cell id)
     normals: jnp.ndarray       # f32[G, nd]
@@ -340,6 +344,149 @@ class BlockedBC:
             )
         return view.reshape(P3.shape)
 
+    # ------------------------------------------------------------------
+    # channel-split mode: the single-chip 3D TPU march keeps the state in
+    # the Pallas kernels' native [B, C, bs, bs*bs] layout end to end
+    # (`ops.pallas_rhs.rk2_step_cs`); these mirrors apply the SAME BCs
+    # without ever materializing a cell-major full-state grid (the
+    # round-4 trace put ~10 ms/step of the 71 ms sphere bench in layout
+    # flips between the BC's cell-major views and the kernel layout).
+    # ------------------------------------------------------------------
+
+    def interpolate_cs(self, Pc):
+        """Image-point values [U, C] from the channel-split state.
+
+        The fb stencil cells live in a few hundred blocks near the wall:
+        gather those block rows whole (ONE wide full-row take), transpose
+        only them to cell-major, and run the per-point takes against the
+        compact band — a small-source gather is ~3x faster per row than
+        the same rows against the full state (round-4 microbench), and
+        the state itself never leaves the cs layout."""
+        B, C = Pc.shape[0], Pc.shape[1]
+        npb = self.bs ** self.nd
+        band = jnp.take(Pc.reshape(B, C * npb), self.band_blocks, axis=0)
+        band = band.reshape(-1, C, npb).transpose(0, 2, 1).reshape(-1, C)
+        cells = self.fb_cell_band.reshape(self.n_fb, self.fb_width)
+        acc = None
+        for k in range(self.fb_width):
+            t = jnp.take(band, cells[:, k], axis=0) * self.fb_w[:, k:k + 1]
+            acc = t if acc is None else acc + t
+        return acc
+
+    def cs(self, Pc, fns: Dict[str, Callable], *, guard: Callable = None):
+        """Apply all families' BCs on the channel-split state (3D fb-only
+        configurations: `build_blocked_bc` disables patch stencils at
+        nd == 3).  Same semantics and float behavior as ``__call__`` up
+        to gather source (identical rows, identical sum order)."""
+        assert self.n_patch == 0, "cs mode requires fb-only stencils"
+        if int(self.ghosts.shape[0]) == 0:
+            dense_new = [self._dense_values_cs(Pc, i, fns, guard)
+                         for i in range(len(self.dense_spec))]
+            for i, planes in enumerate(dense_new):
+                Pc = self._dense_write_cs(Pc, i, planes)
+            return Pc
+        Pi = jnp.take(self.interpolate_cs(Pc), self.g2u, axis=0)
+        r = None
+        for i, name in enumerate(self.names):
+            ri = fns[name](Pi, self.normals)
+            sel = (self.family == i)[:, None]
+            r = ri if r is None else jnp.where(sel, ri, r)
+        g = self.eta * Pi + (1.0 - self.eta) * r
+        if guard is not None:
+            g = guard(g)
+        dense_new = [self._dense_values_cs(Pc, i, fns, guard)
+                     for i in range(len(self.dense_spec))]
+        Pc = self._write_cs(Pc, g)
+        for i, planes in enumerate(dense_new):
+            Pc = self._dense_write_cs(Pc, i, planes)
+        return Pc
+
+    def _dense_values_cs(self, Pc, i, fns, guard):
+        """Ghost-plane values for dense group ``i``: [L, Bf, C, lat..]."""
+        fam, d, side, layers, p0, p1, w0, w1, etas = self.dense_spec[i]
+        bs, nd = self.bs, self.nd
+        C = Pc.shape[1]
+        rows = self.dense_rows[i]
+        blk = jnp.take(Pc.reshape(Pc.shape[0], -1), rows, axis=0)
+        blk = blk.reshape((rows.shape[0], C) + (bs,) * nd)
+        ax = 2 + (nd - 1 - d)
+        Pi = (w0 * lax.index_in_dim(blk, p0, axis=ax, keepdims=False)
+              + w1 * lax.index_in_dim(blk, p1, axis=ax, keepdims=False))
+        # [Bf, C, lat..] -> [Bf*lat.., C] for the family callback (tiny:
+        # one plane per boundary block)
+        perm = (0,) + tuple(range(2, 1 + nd)) + (1,)
+        lat = Pi.shape[2:]
+        flat = Pi.transpose(perm).reshape(-1, C)
+        nvec = np.zeros(nd, np.float32)
+        nvec[d] = -1.0 if side else 1.0
+        nrm = jnp.broadcast_to(jnp.asarray(nvec), (flat.shape[0], nd))
+        r = fns[self.names[fam]](flat, nrm)
+        inv = (0, nd) + tuple(range(1, nd))
+        out = []
+        for eta in etas:
+            gl = eta * flat + (1.0 - eta) * r
+            if guard is not None:
+                gl = guard(gl)
+            out.append(gl.reshape((Pi.shape[0],) + lat + (C,))
+                       .transpose(inv))
+        return jnp.stack(out)
+
+    def _dense_write_cs(self, Pc, i, planes):
+        """Masked RMW of group ``i``'s ghost planes into the cs state."""
+        fam, d, side, layers, p0, p1, w0, w1, etas = self.dense_spec[i]
+        bs, nd = self.bs, self.nd
+        C = Pc.shape[1]
+        rows = self.dense_rows[i]
+        mask = self.dense_mask[i]
+        view = Pc.reshape(Pc.shape[0], -1)
+        blk = jnp.take(view, rows, axis=0)
+        blk = blk.reshape((rows.shape[0], C) + (bs,) * nd)
+        ax = 2 + (nd - 1 - d)
+        for li, l in enumerate(layers):
+            p = (bs - 1 - l) if side else l
+            old = lax.index_in_dim(blk, p, axis=ax, keepdims=False)
+            m = mask[:, li][:, None]
+            new = jnp.where(m > 0, planes[li], old)
+            blk = lax.dynamic_update_index_in_dim(
+                blk, jnp.expand_dims(new, ax), p, axis=ax)
+        return view.at[rows].set(
+            blk.reshape(rows.shape[0], -1),
+            unique_indices=True,
+        ).reshape(Pc.shape)
+
+    def _write_cs(self, Pc, g):
+        """Block-granular RMW of the general-path ghosts into the cs
+        state (the cs analog of `_write_xla`: same phase-view placement,
+        the dense buffer transposed per ghost block instead of the full
+        state)."""
+        placed = self.place(g)
+        C = Pc.shape[1]
+        E = int(self.tile_gid.shape[0])
+        if E == 0:
+            return Pc
+        npb = self.bs ** self.nd
+        n_tiles = npb // 16
+        Bw = int(self.gblk.shape[0])
+        dense = jnp.zeros((Bw * n_tiles, 16 * C), g.dtype).at[
+            self.tile_loc].set(
+            placed.reshape(E, 16 * C),
+            unique_indices=True, indices_are_sorted=True,
+        ).reshape(Bw, npb, C).transpose(0, 2, 1)
+        view = Pc.reshape(Pc.shape[0], C * npb)
+        per = max(1, (8 << 20) // (npb * C * 4))
+        for i0 in range(0, Bw, per):
+            i1 = min(i0 + per, Bw)
+            rows = lax.slice_in_dim(self.gblk, i0, i1)
+            old = jnp.take(view, rows, axis=0).reshape(i1 - i0, C, npb)
+            new = jnp.where(
+                lax.slice_in_dim(self.blk_mask, i0, i1)[:, None, :] > 0,
+                lax.slice_in_dim(dense, i0, i1), old)
+            view = view.at[rows].set(
+                new.reshape(i1 - i0, C * npb),
+                unique_indices=True, indices_are_sorted=True,
+            )
+        return view.reshape(Pc.shape)
+
 
 def build_blocked_bc(dom, names: Sequence[str],
                      dense_families: Optional[Sequence[str]] = None,
@@ -602,9 +749,18 @@ def build_blocked_bc(dom, names: Sequence[str],
     if Uf:
         fb_cell = u_idx[Up:].reshape(-1).astype(np.int32)
         fb_w = u_w[Up:]
+        # compact band (cs mode): gathers against the few hundred blocks
+        # that actually hold stencil cells run ~3x faster per row than
+        # against the full state (round-4 small-source microbench)
+        band_u = np.unique(fb_cell // npb)
+        fb_cell_band = (np.searchsorted(band_u, fb_cell // npb) * npb
+                        + fb_cell % npb).astype(np.int32)
+        band_blocks = band_u.astype(np.int32)
     else:
         fb_cell = np.zeros(0, np.int32)
         fb_w = np.zeros((0, K), np.float32)
+        fb_cell_band = np.zeros(0, np.int32)
+        band_blocks = np.zeros(0, np.int32)
 
     # ---- runs -> per-ghost-tile phase-view rows -----------------------------
     n_tiles = npb // 16
@@ -691,6 +847,8 @@ def build_blocked_bc(dom, names: Sequence[str],
         patch_w=patch_w,
         fb_cell=fb_cell,
         fb_w=np.ascontiguousarray(fb_w, dtype=np.float32),
+        band_blocks=band_blocks,
+        fb_cell_band=fb_cell_band,
         g2u=g2u,
         normals=normals[order],
         eta=eta[order][:, None],

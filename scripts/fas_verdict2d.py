@@ -1,0 +1,161 @@
+"""FAS verdict, 2D subsonic arm (VERDICT r3 item 3).
+
+The 3D wing harness (fas_verdict.py) showed the workload-5 residual is
+essentially FLAT over any practical budget (0.989 of the warm-start
+value after 4.3k steps / 240 s at 810k cells) — nothing can show a drop
+there in minutes.  This script asks the question on a case where
+convergence actually happens inside a TPU budget: subsonic (M = 0.4,
+no shock) RAE2822, where a steady state exists and multigrid should
+shine if it ever does (smooth elliptic-dominated flow; reference FAS
+semantics ``src/solver.jl:39-91``).
+
+Arms (identical fine-level smoother = the FasEuler local-dt fixed
+point, so the ONLY difference is the coarse-grid correction):
+  smooth      fas.smooth_only(n_iter=25) repeated
+  fas2 / fas3 fas.cycle(n_iter=25) with 2 / 3 levels
+  rk2         the production block-path TVD-RK2 march (context arm:
+              what the framework actually ships)
+
+Metric: L2 of the fine-level fixed-point residual (r = dt*R) vs
+wall-clock; drop clocks measured from the PEAK of each curve (the
+impulsive start rises first).  Everything restarts from the same
+freestream state.
+
+Usage: python scripts/fas_verdict2d.py [wall_h=2e-2] [budget_s=120]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from ibx.cases.rae2822 import RAE_DAT                      # noqa: E402
+from ibx.geometry import (DistanceField, build_mesh,        # noqa: E402
+                          feature_regions, load_surface, merge_points)
+from ibx.geometry.inside import points_inside               # noqa: E402
+from ibx.physics import apply_flow_bc, flow_bc, make_fluid  # noqa: E402
+from ibx.solve.fas_euler import FasEuler                    # noqa: E402
+from ibx.topology import Domain                             # noqa: E402
+
+WALL_H = float(sys.argv[1]) if len(sys.argv) > 1 else 2e-2
+BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+MACH = 0.4
+ALPHA = 0.0403  # rad (2.31 deg, the flagship's alpha)
+TARGETS = (0.3, 0.1, 0.03, 0.01)
+
+
+def build_case():
+    """ONE domain for every arm (the rk2 block march and the FAS
+    hierarchy's fine level share cells, ordering and BCs)."""
+    from ibx.cases.rae2822 import build_rae2822
+    return build_rae2822(wall_h=WALL_H, feature_h=WALL_H / 2, mach=MACH,
+                         alpha_deg=float(np.degrees(ALPHA)), cfl=0.7)
+
+
+def build_fe(case, max_levels):
+    stl = merge_points(load_surface(RAE_DAT))
+    fluid = case.fluid
+    P_inf = np.asarray(case.P_inf, np.float32)
+    far = flow_bc(fluid, P_inf)
+    wall = flow_bc(fluid, [float(P_inf[0]), float(P_inf[1]), 0.0],
+                   normal_flow=True)
+
+    def make_bcs(d):
+        def apply_bcs(P):
+            P = d.impose_bc(
+                "farfield",
+                lambda b, Pi: apply_flow_bc(far, Pi, b.normals), P)
+            P = d.impose_bc(
+                "wall",
+                lambda b, Pi: apply_flow_bc(wall, Pi, b.normals), P)
+            return P
+        return apply_bcs
+
+    return FasEuler(case.dom, fluid, make_bcs, max_levels=max_levels,
+                    cfl=0.5, inside_fn=lambda c: points_inside(stl, c))
+
+
+def res_l2(fe, Q):
+    r, _ = fe._f(0, Q)
+    return float(jnp.sqrt((r.astype(jnp.float32) ** 2).sum()))
+
+
+def run_arm(name, fe, Q0, use_cycle, budget=BUDGET):
+    fn = (jax.jit(lambda Q: fe.cycle(Q, n_iter=25, rtol=1e-6)[0])
+          if use_cycle else
+          jax.jit(lambda Q: fe.smooth_only(Q, n_iter=25, rtol=1e-6)[0]))
+    Q = fn(Q0)                     # compile outside the timed window
+    jax.block_until_ready(Q)
+    Q = Q0
+    curve = [(0.0, res_l2(fe, Q0))]
+    t0 = time.time()
+    while time.time() - t0 < budget:
+        Q = fn(Q)
+        jax.block_until_ready(Q)
+        curve.append((time.time() - t0, res_l2(fe, Q)))
+    report(name, curve)
+    return curve
+
+
+def report(name, curve):
+    rs = [r for _, r in curve]
+    pk = int(np.argmax(rs))
+    peak = rs[pk]
+    out = {"arm": name, "res0": rs[0], "peak": peak,
+           "final_ratio": rs[-1] / peak}
+    for tgt in TARGETS:
+        hit = next((t for t, r in curve[pk:] if r <= tgt * peak), None)
+        out[f"t_to_{tgt}"] = None if hit is None else round(hit, 2)
+    print(json.dumps(out), flush=True)
+
+
+def run_rk2_arm(case, fe, budget=BUDGET):
+    """Production block-path TVD-RK2 march on the same domain, with the
+    residual probed through the same FasEuler functional."""
+    P = case.P0
+    P, _ = case.step(P)
+    jax.block_until_ready(P)       # compile
+    P = case.P0
+    curve = [(0.0, res_l2(fe, fe.init_state(P)))]
+    t0 = time.time()
+    while time.time() - t0 < budget:
+        P = case.march(P, 25)
+        jax.block_until_ready(P)
+        curve.append((time.time() - t0,
+                      res_l2(fe, fe.init_state(P))))
+    report("rk2_block", curve)
+    return curve
+
+
+def main():
+    t0 = time.time()
+    case = build_case()
+    fe2 = build_fe(case, 2)
+    print(f"cells={case.dom.ncells} build={time.time()-t0:.0f}s",
+          flush=True)
+    Q0 = fe2.init_state(case.P0)
+
+    curves = {}
+    curves["smooth"] = run_arm("smooth", fe2, Q0, use_cycle=False)
+    curves["fas2"] = run_arm("fas2", fe2, Q0, use_cycle=True)
+
+    t0 = time.time()
+    fe3 = build_fe(case, 3)
+    print(f"3-level build={time.time()-t0:.0f}s", flush=True)
+    curves["fas3"] = run_arm("fas3", fe3, Q0, use_cycle=True)
+
+    curves["rk2_block"] = run_rk2_arm(case, fe2)
+
+    np.savez("/tmp/fas_verdict2d_curves.npz",
+             **{k: np.asarray(v) for k, v in curves.items()})
+    print("curves -> /tmp/fas_verdict2d_curves.npz", flush=True)
+
+
+if __name__ == "__main__":
+    main()
