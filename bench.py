@@ -79,6 +79,29 @@ def main():
         sys.exit(1)
 
     cups = n * steps / elapsed
+
+    # Driver-recorded sharded factor (VERDICT r3 item 6): on the default
+    # 2D flagship run, also march the SAME case through the 1-device-mesh
+    # shard_map runtime (neighbor-ppermute halo exchange + overlap split
+    # included) and record the measured overhead in the unit string, so
+    # the pod extrapolation rests on a number the driver captures.
+    if which == "rae2822" and not sharded:
+        try:
+            from ibx.cases.rae2822_block_sharded import (
+                build_rae2822_block_sharded)
+            sbd, _, P0_sh, _ = build_rae2822_block_sharded(
+                1, cfl=0.5, case=case)
+            Ps = sbd.march(P0_sh, 2)
+            jax.block_until_ready(Ps)
+            t0 = time.time()
+            Ps = sbd.march(Ps, steps)
+            jax.block_until_ready(Ps)
+            sh_el = time.time() - t0
+            tag += (f", sharded_1dev={n * steps / sh_el / 1e6:.1f}M"
+                    f" ({(sh_el / elapsed - 1) * 100:+.1f}%)")
+        except Exception as e:               # pragma: no cover
+            tag += f", sharded_1dev=err:{type(e).__name__}"
+
     print(
         json.dumps(
             {
