@@ -227,8 +227,50 @@ def project_on_triangles(tri: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return proj
 
 
+def _project_on_ksimplices(simp: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Batched projection onto (k-1)-simplices for arbitrary k >= 4.
+
+    The reference's recursive ``proj2simplex`` (``src/mesher.jl:544-596``:
+    pinv projection onto the affine hull, recursing into the k facets when
+    the barycentric solution leaves the simplex), re-derived with the
+    scale-free degeneracy guards of the k <= 3 closed forms (a fixed
+    epsilon on a Gram determinant ~ L^(2(k-1)) collapses at small simplex
+    scale — the round-3 projection-bug class).
+    """
+    Q, k, nd = simp.shape
+    p0 = simp[:, 0]
+    E = simp[:, 1:] - p0[:, None]                  # [Q, k-1, nd]
+    G = E @ np.transpose(E, (0, 2, 1))             # [Q, k-1, k-1] Gram
+    rhs = (E @ (pts - p0)[:, :, None])[..., 0]     # [Q, k-1]
+    det = np.linalg.det(G)
+    scale = np.prod(np.einsum("qij,qij->qi", E, E), axis=1)  # prod |e_i|^2
+    good = det > 1e-12 * np.maximum(scale, 0.0)
+    G_safe = np.where(good[:, None, None], G,
+                      np.eye(k - 1, dtype=G.dtype)[None])
+    lam = np.linalg.solve(G_safe, rhs[..., None])[..., 0]    # [Q, k-1]
+    interior = good & (lam >= -_EPS32).all(axis=1) \
+        & (lam.sum(axis=1) <= 1.0 + _EPS32)
+    proj_in = p0 + np.einsum("qi,qid->qd", lam, E)
+
+    # facet recursion: drop one vertex at a time, keep the nearest foot
+    best = np.full(Q, np.inf)
+    proj = np.empty_like(pts)
+    for drop in range(k):
+        face = np.concatenate([simp[:, :drop], simp[:, drop + 1:]], axis=1)
+        cand = project_on_simplices(face, pts)
+        dist = ((cand - pts) ** 2).sum(1)
+        better = dist < best
+        best = np.where(better, dist, best)
+        proj[better] = cand[better]
+
+    proj[interior] = proj_in[interior]
+    return proj
+
+
 def project_on_simplices(simplex_coords: np.ndarray, pts: np.ndarray) -> np.ndarray:
-    """Dispatch batched projection by simplex arity."""
+    """Dispatch batched projection by simplex arity (closed forms for
+    k <= 3, the recursive facet walk beyond — full parity with the
+    reference's arbitrary-arity ``proj2simplex``)."""
     kk = simplex_coords.shape[1]
     if kk == 1:
         return simplex_coords[:, 0]
@@ -236,4 +278,4 @@ def project_on_simplices(simplex_coords: np.ndarray, pts: np.ndarray) -> np.ndar
         return project_on_segments(simplex_coords, pts)
     if kk == 3:
         return project_on_triangles(simplex_coords, pts)
-    raise ValueError(f"unsupported simplex arity {kk}")
+    return _project_on_ksimplices(simplex_coords, pts)

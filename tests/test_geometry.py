@@ -176,3 +176,53 @@ def test_build_mesh_rae2822():
     np.testing.assert_allclose(
         np.prod(msh.block_widths, axis=1).sum(), 2500.0, rtol=1e-4
     )
+
+
+def test_project_on_ksimplices():
+    """Arbitrary-arity simplex projection (reference proj2simplex,
+    src/mesher.jl:544-596): validated against a dense barycentric
+    brute-force minimum on random tetrahedra (k=4) and 4-simplices in
+    5D (k=5)."""
+    from ibx.geometry.refine import project_on_simplices
+
+    rng = np.random.default_rng(11)
+
+    def brute(simp, pt, n=24):
+        # dense barycentric sampling of the simplex
+        k = simp.shape[0]
+        w = rng.dirichlet(np.ones(k), size=4000)
+        cand = w @ simp
+        d = ((cand - pt) ** 2).sum(1)
+        return np.sqrt(d.min())
+
+    for k, nd in ((4, 3), (5, 5)):
+        simp = rng.standard_normal((40, k, nd)).astype(np.float64)
+        pts = 2.0 * rng.standard_normal((40, nd))
+        proj = project_on_simplices(simp, pts)
+        # every foot point lies (numerically) inside the simplex: its
+        # distance is a valid upper bound of the true minimum
+        d_proj = np.sqrt(((proj - pts) ** 2).sum(1))
+        for q in range(40):
+            d_ref = brute(simp[q], pts[q])
+            assert d_proj[q] <= d_ref + 1e-7, (q, d_proj[q], d_ref)
+        # interior points of a full-dimensional simplex project to
+        # themselves
+        if k == nd + 1:
+            center = simp.mean(axis=1)
+            pc = project_on_simplices(simp, center)
+            np.testing.assert_allclose(pc, center, atol=1e-12)
+
+    # tiny-scale regression (the round-3 bug class): a 1e-4-sized tet
+    # must project exactly like its unit-scale copy
+    simp = rng.standard_normal((10, 4, 3))
+    pts = rng.standard_normal((10, 3))
+    big = project_on_simplices(simp, pts)
+    small = project_on_simplices(simp * 1e-4, pts * 1e-4)
+    np.testing.assert_allclose(small, big * 1e-4, rtol=1e-6, atol=1e-12)
+
+    # degenerate (rank-deficient) simplex: falls through to the facets
+    flat = np.stack([np.zeros(3), np.eye(3)[0], np.eye(3)[1],
+                     np.eye(3)[0] + np.eye(3)[1]])[None]
+    p = np.array([[0.3, 0.3, 1.0]])
+    out = project_on_simplices(flat, p)
+    np.testing.assert_allclose(out, [[0.3, 0.3, 0.0]], atol=1e-12)
