@@ -45,6 +45,10 @@ from ibx.topology import Domain                             # noqa: E402
 
 WALL_H = float(sys.argv[1]) if len(sys.argv) > 1 else 2e-2
 BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+# forward-Euler fixed-point stability: CFL 0.5 blows the smoother to the
+# physicality-guard ceiling on this mesh (measured run 1); the reference
+# recipe marches single-stage at 0.4 (BASELINE.md round-2 table)
+SMOOTH_CFL = float(sys.argv[3]) if len(sys.argv) > 3 else 0.35
 MACH = 0.4
 ALPHA = 0.0403  # rad (2.31 deg, the flagship's alpha)
 TARGETS = (0.3, 0.1, 0.03, 0.01)
@@ -78,7 +82,8 @@ def build_fe(case, max_levels):
         return apply_bcs
 
     return FasEuler(case.dom, fluid, make_bcs, max_levels=max_levels,
-                    cfl=0.5, inside_fn=lambda c: points_inside(stl, c))
+                    cfl=SMOOTH_CFL,
+                    inside_fn=lambda c: points_inside(stl, c))
 
 
 def res_l2(fe, Q):
