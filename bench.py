@@ -90,7 +90,7 @@ def main():
             from ibx.cases.rae2822_block_sharded import (
                 build_rae2822_block_sharded)
             sbd, _, P0_sh, _ = build_rae2822_block_sharded(
-                1, cfl=0.5, case=case)
+                1, cfl=0.5, case=case, overlap=True)
             Ps = sbd.march(P0_sh, 2)
             jax.block_until_ready(Ps)
             t0 = time.time()

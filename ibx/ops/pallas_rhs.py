@@ -463,10 +463,15 @@ def _cols_scatter_add_cs(bt: BlockTables, Xc, cols, d: int, ch0: int,
     """Compact correction application: ``cols[s] = (blocks, vals)`` from
     `interface_corrections(compact=True)`; adds the [V, lat.., n]
     edge-plane values into channels [ch0:ch1] of ``Xc`` as V*n wide
-    (npb-element) row scatter-adds on the [B*C, npb] view — the full
-    array is never re-materialized (vs `_cols_add_cs`, which streams all
-    of ``Xc`` through a zero-padded add; ~1.4 ms per call at bench
-    scale)."""
+    (npb-element) row scatter-adds on the [B*C, npb] view.
+
+    MEASURED LOSS — kept only as the reference point (round-4 A/B on the
+    5.3M-cell sphere bench): 74.6 ms/step vs 55.0 with `_cols_add_cs`.
+    Each ``.at[rows].add`` is a standalone scatter XLA cannot fuse, so
+    every call re-materializes the full 100-320 MB operand once per
+    (d, s) — a dozen un-fused copies per RHS eval — whereas the
+    inverse-permutation ``place`` + streamed ``out + full`` add is one
+    fused pass per call."""
     B, bs = bt.n_blocks, bt.block_size
     Ctot = Xc.shape[1]
     npb = bs ** bt.nd
@@ -599,23 +604,19 @@ def euler_rhs_cs(
             # partsA's S entry is a width-1 dummy: with edge_fetch set,
             # the parts only fix the face_fn's channel split widths
             cols = bo.interface_corrections(bt, d, partsA, face_A, nA,
-                                            signedA, edge_fetch=fetchA,
-                                            compact=True)
+                                            signedA, edge_fetch=fetchA)
             if cols is None:
                 continue
             # cols channels: [du(5), G, U (, sf)] -> kernel-A outputs
-            sub = [None if c is None else (c[0], c[1][..., 0:5])
-                   for c in cols]
-            du_cs = _cols_scatter_add_cs(bt, du_cs, sub, d,
-                                         d * 5, (d + 1) * 5)
+            sub = [None if c is None else c[..., 0:5] for c in cols]
+            du_cs = _cols_add_cs(bt, du_cs, sub, d, d * 5, (d + 1) * 5)
             csl = [(5, (d, d + 1)), (6, (nd + d, nd + d + 1))]
             if with_dt:
                 csl.append((7, (2 * nd + d, 2 * nd + d + 1)))
             for src0, (c0, c1) in csl:
-                sub = [None if c is None
-                       else (c[0], c[1][..., src0:src0 + (c1 - c0)])
+                sub = [None if c is None else c[..., src0:src0 + (c1 - c0)]
                        for c in cols]
-                aux = _cols_scatter_add_cs(bt, aux, sub, d, c0, c1)
+                aux = _cols_add_cs(bt, aux, sub, d, c0, c1)
 
     Gs = aux[:, :nd]
     Us = aux[:, nd:2 * nd]
@@ -661,10 +662,10 @@ def euler_rhs_cs(
             dum1 = jnp.zeros((1, 1), Pc.dtype)
             cols = bo.interface_corrections(
                 bt, d, (dumP, dumP, dum1), face_B, ncomp, signedB,
-                edge_fetch=fetchB, compact=True)
+                edge_fetch=fetchB)
             if cols is None:
                 continue
-            Rc = _cols_scatter_add_cs(bt, Rc, cols, d, 0, ncomp)
+            Rc = _cols_add_cs(bt, Rc, cols, d, 0, ncomp)
 
     if with_dt:
         sfs = aux[:, 2 * nd:3 * nd]
