@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..physics.fluid import (Fluid, physicality_guard,
                              primitive2state, state2primitive)
 from ..topology.domain import Domain
-from .euler import euler_rhs, local_timestep
+from .euler import euler_rhs, local_timestep, rk2_step
 from .fas import fas
 from .multigrid_domain import DomainHierarchy, multigrid
 
@@ -30,6 +30,22 @@ class FasEuler:
     ``make_bcs(dom) -> (P -> P)`` builds the ghost-BC application for any
     level's domain; ``inside_fn(centers) -> bool[N]`` (optional) marks cells
     inside solid bodies to freeze, per level.
+
+    ``smoother``: the per-level relaxation map handed to the FAS driver.
+
+      * ``"euler"`` — the reference recipe's forward-Euler local-dt fixed
+        point ``Q += dt*R(Q)``.  Measured LINEARLY UNSTABLE on smooth
+        subsonic cases (scripts/fas_smoother_probe.py, round 4): where the
+        JST-style sensor is quiescent the face blend ``PL*D + (1-D)*uf``
+        degenerates to an undissipated central flux, and forward Euler on
+        central convection amplifies grid-frequency modes at ANY cfl
+        (0.5 and 0.35 both diverged; a guarded-projection variant only
+        bounds the blow-up).  Kept as the reference-parity mode for model
+        problems with active dissipation.
+      * ``"rk2"`` — the production TVD-RK2 map as the fixed point,
+        ``r = RK2(Q) - Q`` (same stationary points: r = 0 iff dt*R = 0);
+        stable wherever the production march is, which is what makes a
+        wall-clock FAS-vs-smoothing comparison meaningful.
     """
 
     def __init__(
@@ -42,10 +58,13 @@ class FasEuler:
         cfl: float = 0.5,
         high_order: bool = True,
         inside_fn: Optional[Callable] = None,
+        smoother: str = "euler",
     ):
         self.fluid = fluid
         self.cfl = cfl
         self.high_order = high_order
+        assert smoother in ("euler", "rk2")
+        self.smoother = smoother
         hier = multigrid(dom, max_levels)
         self.domains: List[Domain] = [dom] + list(hier.coarse_domains)
         self.coarseners = list(hier.coarseners)
@@ -65,6 +84,12 @@ class FasEuler:
         part = d.partitions[0]
         P = physicality_guard(state2primitive(self.fluid, Q))
         P = self.bcs[level](P)
+        if self.smoother == "rk2":
+            P2, _ = rk2_step(part, self.fluid, P, self.bcs[level],
+                             cfl=self.cfl, high_order=self.high_order,
+                             active=self.active[level])
+            Qn = primitive2state(self.fluid, physicality_guard(P2))
+            return Qn - Q, jnp.ones_like(Q)
         R = euler_rhs(part, self.fluid, P, high_order=self.high_order)
         dt = local_timestep(part, self.fluid, P, self.cfl)
         if self.active[level] is not None:

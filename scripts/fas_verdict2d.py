@@ -9,17 +9,20 @@ no shock) RAE2822, where a steady state exists and multigrid should
 shine if it ever does (smooth elliptic-dominated flow; reference FAS
 semantics ``src/solver.jl:39-91``).
 
-Arms (identical fine-level smoother = the FasEuler local-dt fixed
-point, so the ONLY difference is the coarse-grid correction):
+Arms (identical fine-level smoother = the production TVD-RK2 map
+``r = RK2(Q) - Q``, so the ONLY difference is the coarse-grid
+correction; the reference recipe's forward-Euler fixed point was
+measured linearly unstable on this smooth case at any cfl —
+scripts/fas_smoother_probe.py, FasEuler docstring):
   smooth      fas.smooth_only(n_iter=25) repeated
   fas2 / fas3 fas.cycle(n_iter=25) with 2 / 3 levels
   rk2         the production block-path TVD-RK2 march (context arm:
               what the framework actually ships)
 
-Metric: L2 of the fine-level fixed-point residual (r = dt*R) vs
-wall-clock; drop clocks measured from the PEAK of each curve (the
-impulsive start rises first).  Everything restarts from the same
-freestream state.
+Metric: L2 of dt*R(Q) at fixed cfl 0.7 — a common functional
+independent of each arm's smoother map — vs wall-clock; drop clocks
+measured from the PEAK of each curve (the impulsive start rises
+first).  Everything restarts from the same freestream state.
 
 Usage: python scripts/fas_verdict2d.py [wall_h=2e-2] [budget_s=120]
 """
@@ -45,10 +48,12 @@ from ibx.topology import Domain                             # noqa: E402
 
 WALL_H = float(sys.argv[1]) if len(sys.argv) > 1 else 2e-2
 BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
-# forward-Euler fixed-point stability: CFL 0.5 blows the smoother to the
-# physicality-guard ceiling on this mesh (measured run 1); the reference
-# recipe marches single-stage at 0.4 (BASELINE.md round-2 table)
-SMOOTH_CFL = float(sys.argv[3]) if len(sys.argv) > 3 else 0.35
+# the rk2-map smoother is stable at the production CFL (the euler fixed
+# point diverged at 0.5 AND 0.35 — see module docstring)
+SMOOTH_CFL = float(sys.argv[3]) if len(sys.argv) > 3 else 0.7
+# optional arm subset, e.g. "smooth,fas2" (argv[4]); default all
+ARMS = (sys.argv[4].split(",") if len(sys.argv) > 4
+        else ["smooth", "fas2", "fas3", "rk2_block"])
 MACH = 0.4
 ALPHA = 0.0403  # rad (2.31 deg, the flagship's alpha)
 TARGETS = (0.3, 0.1, 0.03, 0.01)
@@ -82,12 +87,22 @@ def build_fe(case, max_levels):
         return apply_bcs
 
     return FasEuler(case.dom, fluid, make_bcs, max_levels=max_levels,
-                    cfl=SMOOTH_CFL,
+                    cfl=SMOOTH_CFL, smoother="rk2",
                     inside_fn=lambda c: points_inside(stl, c))
 
 
 def res_l2(fe, Q):
-    r, _ = fe._f(0, Q)
+    """Common metric across arms: L2 of dt*R at fixed cfl 0.7 (NOT the
+    arm's own smoother map)."""
+    from ibx.physics.fluid import physicality_guard, state2primitive
+    from ibx.solve.euler import euler_rhs, local_timestep
+    part = fe.domains[0].partitions[0]
+    P = fe.bcs[0](physicality_guard(state2primitive(fe.fluid, Q)))
+    R = euler_rhs(part, fe.fluid, P, high_order=fe.high_order)
+    dt = local_timestep(part, fe.fluid, P, 0.7)
+    if fe.active[0] is not None:
+        dt = dt * fe.active[0]
+    r = R * dt[:, None]
     return float(jnp.sqrt((r.astype(jnp.float32) ** 2).sum()))
 
 
@@ -147,19 +162,23 @@ def main():
     Q0 = fe2.init_state(case.P0)
 
     curves = {}
-    curves["smooth"] = run_arm("smooth", fe2, Q0, use_cycle=False)
-    curves["fas2"] = run_arm("fas2", fe2, Q0, use_cycle=True)
+    if "smooth" in ARMS:
+        curves["smooth"] = run_arm("smooth", fe2, Q0, use_cycle=False)
+    if "fas2" in ARMS:
+        curves["fas2"] = run_arm("fas2", fe2, Q0, use_cycle=True)
 
-    t0 = time.time()
-    fe3 = build_fe(case, 3)
-    print(f"3-level build={time.time()-t0:.0f}s", flush=True)
-    curves["fas3"] = run_arm("fas3", fe3, Q0, use_cycle=True)
+    if "fas3" in ARMS:
+        t0 = time.time()
+        fe3 = build_fe(case, 3)
+        print(f"3-level build={time.time()-t0:.0f}s", flush=True)
+        curves["fas3"] = run_arm("fas3", fe3, Q0, use_cycle=True)
 
-    curves["rk2_block"] = run_rk2_arm(case, fe2)
+    if "rk2_block" in ARMS:
+        curves["rk2_block"] = run_rk2_arm(case, fe2)
 
-    np.savez("/tmp/fas_verdict2d_curves.npz",
-             **{k: np.asarray(v) for k, v in curves.items()})
-    print("curves -> /tmp/fas_verdict2d_curves.npz", flush=True)
+    out = f"/tmp/fas_verdict2d_curves_{WALL_H:g}.npz"
+    np.savez(out, **{k: np.asarray(v) for k, v in curves.items()})
+    print(f"curves -> {out}", flush=True)
 
 
 if __name__ == "__main__":
