@@ -209,18 +209,14 @@ def _cat_fn(face_fn: Callable, widths):
 
 
 def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
-                          n_out: int, signed_mask, edge_fetch=None,
-                          compact=False):
+                          n_out: int, signed_mask, edge_fetch=None):
     """Structured 2:1 interface contributions as a cell-grid array.
 
-    With ``compact=True`` each side returns ``(blocks, vals)`` — the
-    interface block ids and their [V, lat.., n_out] edge-column values —
-    instead of the inverse-permutation-placed full [B, lat.., n_out]
-    grid: the channel-split RHS applies them as V whole-block-row
-    scatter-adds, never re-materializing the full gradient/residual
-    arrays (round-4 trace: the full-array adds cost ~1.4 ms each per RHS
-    eval at bench scale, and their per-axis cell-grid placements were
-    what XLA's loop rolling stacked into [3, ncells] buffers).
+    (A ``compact`` variant that returned raw ``(blocks, vals)`` pairs for
+    scatter-add application was A/B'd and deleted in round 4 — the
+    un-fusable scatters re-materialized the full operand per call and
+    measured 19.6 ms/step SLOWER than the placed-grid streamed adds on
+    the 5.3M-cell sphere bench; see `pallas_rhs._cols_add_cs`.)
 
     ``face_fn(W_owner, W_neighbor, h_owner, h_neighbor) -> [..., n_out]``
     computes per-face quantities with the owner on the minus side. Columns
@@ -273,11 +269,9 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
     for s in (0, 1):
         sgn = jnp.where(signed > 0, 1.0 if s == 1 else -1.0, 1.0)
         pieces = []
-        blocks_l = []
 
         fsb = bt.fs_block[d][s]
         if fsb.shape[0]:
-            blocks_l.append(fsb)
             own = fetch(s, fsb)
             other_col = fetch(1 - s, bt.fs_coarse[d][s])
             other = _expand_coarse(other_col, bt.fs_off[d][s], bs, nd)
@@ -291,7 +285,6 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
 
         csb = bt.cs_block[d][s]
         if csb.shape[0]:
-            blocks_l.append(csb)
             own = fetch(s, csb)
             planes = [fetch(1 - s, bt.cs_fine[d][s][:, q])
                       for q in range(n_fine)]
@@ -307,14 +300,10 @@ def interface_corrections(bt: BlockTables, d: int, W3, face_fn: Callable,
             pieces.append(tot * (sgn / n_fine) / hc)
 
         # one placement over the disjoint fine/coarse block sets
-        if not pieces:
-            cols[s] = None
-        elif compact:
-            cols[s] = (jnp.concatenate(blocks_l),
-                       jnp.concatenate(pieces, axis=0))
-        else:
-            cols[s] = place(jnp.concatenate(pieces, axis=0),
-                            bt.ifc_inv[d][s])
+        cols[s] = (
+            place(jnp.concatenate(pieces, axis=0), bt.ifc_inv[d][s])
+            if pieces else None
+        )
 
     if cols[0] is None and cols[1] is None:
         return None

@@ -239,6 +239,36 @@ def _hll_flux(gamma, R, PL, PR, d):
     )
 
 
+def _edge_corr(du_d, d, s, c, bs):
+    """Add the placed 2:1 interface correction ``c`` to the side-``s``
+    edge slots of the axis-``d`` gradient block ``du_d`` [5, bs, bs*bs]
+    (in-VMEM; the XLA alternative — a full [B, nd*5, ..] streamed add per
+    RHS eval — measured 1.4 ms/step at the 5.3M-cell bench).  ``c``:
+    [5, 1, bs*bs] for d=2 (z; (y, x) lane-merged), [5, bs, bs] for
+    d=1/d=0 ((z, x) / (z, y)).  z/y edges are contiguous sublane/lane
+    slabs (concat); x edges are lane-strided, placed with an exact 0/1
+    matmul (single-term sums — bitwise equal to the streamed add)."""
+    if d == 2:
+        if s == 0:
+            return jnp.concatenate([du_d[:, :1] + c, du_d[:, 1:]], axis=1)
+        return jnp.concatenate(
+            [du_d[:, :bs - 1], du_d[:, bs - 1:] + c], axis=1)
+    if d == 1:
+        if s == 0:
+            return jnp.concatenate(
+                [du_d[:, :, :bs] + c, du_d[:, :, bs:]], axis=2)
+        return jnp.concatenate(
+            [du_d[:, :, :bs * (bs - 1)], du_d[:, :, bs * (bs - 1):] + c],
+            axis=2)
+    e = bs - 1 if s else 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bs, bs * bs), 1)
+    yrow = jax.lax.broadcasted_iota(jnp.int32, (bs, bs * bs), 0)
+    E = ((lane // bs == yrow) & (lane % bs == e)).astype(du_d.dtype)
+    add = jax.lax.dot(c.reshape(5 * bs, bs), E,
+                      preferred_element_type=du_d.dtype)
+    return du_d + add.reshape(5, bs, bs * bs)
+
+
 def _face_b(gamma, R, high_order, d, h, Po, Pn, duo, dun, Do, Dn):
     """-HLL flux of the MUSCL-reconstructed face (block_ops face_B with
     ho = hn = h; all operands [*, bs, bs*bs] stacks with 5 channels for
@@ -262,21 +292,30 @@ def _face_b(gamma, R, high_order, d, h, Po, Pn, duo, dun, Do, Dn):
     return jnp.stack([-Fk for Fk in F])
 
 
-def _kernel_b(fluid_consts, bs, nd, high_order,
-              meta_ref, nbr_ref, P_ref, du_ref, nu_ref,
-              px0, px1, py0, py1, pz0, pz1,
-              dx0, dx1, dy0, dy1, dz0, dz1,
-              ux0, ux1, uy0, uy1, uz0, uz1, out_ref):
+def _kernel_b(fluid_consts, bs, nd, high_order, have_cols,
+              meta_ref, nbr_ref, P_ref, du_ref, nu_ref, *refs):
     """Per-block pass B: R = sum_d (F_plus - F_minus)/h with F = -HLL of
     the MUSCL face.  Neighbor operands: P blocks, the face-dim gradient
     block (channel-blocked from the [B, 15, ..] gradient array by the
-    index map), and sensor blocks."""
+    index map), and sensor blocks.
+
+    With ``have_cols``, 12 extra refs precede ``out_ref``: the placed 2:1
+    gradient corrections for the own block (6, (d, s) order) and for each
+    neighbor slot's used edge (6, k order: slot k's neighbor corrected at
+    its side-(1 - k%2) edge) — applied on load instead of via a streamed
+    full-array add between the passes (see `_edge_corr`)."""
     del nbr_ref
     gamma, R = fluid_consts
     sh_m, sh_p, edge_mask = _shifts(bs)
-    nbP = ((px0, px1), (py0, py1), (pz0, pz1))
-    nbD = ((dx0, dx1), (dy0, dy1), (dz0, dz1))
-    nbU = ((ux0, ux1), (uy0, uy1), (uz0, uz1))
+    nbP = tuple((refs[2 * d], refs[2 * d + 1]) for d in range(3))
+    nbD = tuple((refs[6 + 2 * d], refs[6 + 2 * d + 1]) for d in range(3))
+    nbU = tuple((refs[12 + 2 * d], refs[12 + 2 * d + 1]) for d in range(3))
+    if have_cols:
+        c_own = refs[18:24]
+        c_nbr = refs[24:30]
+        out_ref = refs[30]
+    else:
+        out_ref = refs[18]
     P = P_ref[0]
     nu = nu_ref[0]
     C = 5
@@ -294,16 +333,24 @@ def _kernel_b(fluid_consts, bs, nd, high_order,
         bnd_l = meta_ref[9 + 2 * d, b]
         bnd_r = meta_ref[9 + 2 * d + 1, b]
         du = du_ref[0, d * C:(d + 1) * C]
+        nbD_m = nbD[d][0][0]
+        nbD_p = nbD[d][1][0]
+        if have_cols:
+            du = _edge_corr(du, d, 0, c_own[2 * d][0], bs)
+            du = _edge_corr(du, d, 1, c_own[2 * d + 1][0], bs)
+            # minus neighbor's used edge is its s=1 edge; plus: s=0
+            nbD_m = _edge_corr(nbD_m, d, 1, c_nbr[2 * d][0], bs)
+            nbD_p = _edge_corr(nbD_p, d, 0, c_nbr[2 * d + 1][0], bs)
         W = jnp.concatenate([P, du, nu], axis=0)       # [11, bs, bs*bs]
         NB_l = jnp.concatenate(
-            [nbP[d][0][0], nbD[d][0][0], nbU[d][0][0]], axis=0)
+            [nbP[d][0][0], nbD_m, nbU[d][0][0]], axis=0)
         Wm = sh_m(W, NB_l, d, bnd_l)
         Fm = face(d, h, Wm, W) * ev_l
         if d == 0:
             # x (minor lanes): a plus-face array is a second full eval on
             # the rolled operands (a strided-lane patch is not a vector op)
             NB_r = jnp.concatenate(
-                [nbP[d][1][0], nbD[d][1][0], nbU[d][1][0]], axis=0)
+                [nbP[d][1][0], nbD_p, nbU[d][1][0]], axis=0)
             ev_r = jnp.where(edge_mask(d, 1), meta_ref[4 + 2 * d, b], 1.0)
             Wp = sh_p(W, NB_r, d, bnd_r)
             Fp = face(d, h, W, Wp) * ev_r
@@ -315,7 +362,7 @@ def _kernel_b(fluid_consts, bs, nd, high_order,
             if d == 2:
                 own = W[:, bs - 1:, :]
                 nb = jnp.concatenate(
-                    [nbP[d][1][0][:, :1, :], nbD[d][1][0][:, :1, :],
+                    [nbP[d][1][0][:, :1, :], nbD_p[:, :1, :],
                      nbU[d][1][0][:, :1, :]], axis=0)
                 edge = jnp.where(bnd_r > 0, own, nb)
                 patch = face(d, h, own, edge) * ev_r
@@ -323,7 +370,7 @@ def _kernel_b(fluid_consts, bs, nd, high_order,
             else:
                 own = W[:, :, bs * (bs - 1):]
                 nb = jnp.concatenate(
-                    [nbP[d][1][0][:, :, :bs], nbD[d][1][0][:, :, :bs],
+                    [nbP[d][1][0][:, :, :bs], nbD_p[:, :, :bs],
                      nbU[d][1][0][:, :, :bs]], axis=0)
                 edge = jnp.where(bnd_r > 0, own, nb)
                 patch = face(d, h, own, edge) * ev_r
@@ -382,16 +429,38 @@ def run_kernel_a(bt: BlockTables, fluid: Fluid, Pc, *, with_dt: bool):
 
 
 def run_kernel_b(bt: BlockTables, fluid: Fluid, Pc, du_cs, nu_cs, *,
-                 high_order: bool):
+                 high_order: bool, cols6=None):
+    """``cols6``: optional 6-list ((d, s) order) of placed 2:1 gradient
+    corrections — [B, 5, 1, bs*bs] for d=2, [B, 5, bs, bs] for d=1/0 —
+    folded into the kernel's du loads (`_edge_corr`) instead of being
+    pre-added to ``du_cs`` in XLA."""
     bs, nd, B = bt.block_size, bt.nd, bt.n_blocks
     consts = (float(fluid.gamma), float(fluid.R))
-    kern = functools.partial(_kernel_b, consts, bs, nd, high_order)
+    have_cols = cols6 is not None
+    kern = functools.partial(_kernel_b, consts, bs, nd, high_order,
+                             have_cols)
     in_specs = (
         [_own(bs, 5), _own(bs, nd * 5), _own(bs, 1)]
         + [_nbspec(bs, 5, k) for k in range(6)]
         + [_nbspec(bs, 5, k, cblk=k // 2) for k in range(6)]
         + [_nbspec(bs, 1, k) for k in range(6)]
     )
+    extra = ()
+    if have_cols:
+        def cspec(d, nbr_k=None):
+            shp = (1, 5, 1, bs * bs) if d == 2 else (1, 5, bs, bs)
+            if nbr_k is None:
+                return pl.BlockSpec(shp, lambda b, m, n: (b, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec(
+                shp, lambda b, m, n, k=nbr_k: (n[k, b], 0, 0, 0),
+                memory_space=pltpu.VMEM)
+
+        in_specs += [cspec(i // 2) for i in range(6)]
+        in_specs += [cspec(k // 2, nbr_k=k) for k in range(6)]
+        # neighbor slot k uses its neighbor's side-(1 - k%2) edge — the
+        # (k ^ 1) entry of the (d, s)-ordered cols
+        extra = tuple(cols6) + tuple(cols6[k ^ 1] for k in range(6))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
@@ -404,24 +473,33 @@ def run_kernel_b(bt: BlockTables, fluid: Fluid, Pc, du_cs, nu_cs, *,
         out_shape=jax.ShapeDtypeStruct((B, 5, bs, bs * bs), Pc.dtype),
         interpret=_interpret(),
     )(_meta(bt), _nbr_table(bt), Pc, du_cs, nu_cs,
-      *([Pc] * 6), *([du_cs] * 6), *([nu_cs] * 6))
+      *([Pc] * 6), *([du_cs] * 6), *([nu_cs] * 6), *extra)
 
 
 # ---------------------------------------------------------------------------
 # XLA glue: corrections + sensor assembly + full RHS
 # ---------------------------------------------------------------------------
 
-def _cs_edge_fetch(bt: BlockTables, arrays_cs, d: int, extra_fn=None):
+def _cs_edge_fetch(bt: BlockTables, arrays_cs, d: int, extra_fn=None,
+                   plane_fix=None):
     """edge_fetch for `block_ops.interface_corrections` over channel-split
     operands: gather the (few) interface block rows whole, slice the
     side-``s`` edge plane, return channel-LAST [V, lat.., Ktot] — avoids
-    materializing cell-major grids of every part just to read planes."""
+    materializing cell-major grids of every part just to read planes.
+
+    ``plane_fix``: optional list parallel to ``arrays_cs``; entry i is
+    None or a (side0, side1) pair of placed channel-last correction grids
+    [B, lat.., Ci] ADDED to part i's fetched plane — used when the
+    gradient corrections are folded into the pass-B kernel (`_edge_corr`)
+    so the XLA-side ``du_cs`` stays uncorrected (the fetched edge planes
+    are exactly where the corrections live; adding the placed rows here
+    reproduces the pre-added values bitwise)."""
     bs = bt.block_size
 
     def fetch(s, blocks):
         e = bs - 1 if s else 0
         outs = []
-        for Xc in arrays_cs:
+        for i, Xc in enumerate(arrays_cs):
             flat = Xc.reshape(Xc.shape[0], -1)
             V = blocks.shape[0]
             rows = jnp.take(flat, blocks, axis=0)
@@ -432,7 +510,12 @@ def _cs_edge_fetch(bt: BlockTables, arrays_cs, d: int, extra_fn=None):
                 plane = X5[:, :, :, e]
             else:
                 plane = X5[..., e]
-            outs.append(plane.transpose(0, 2, 3, 1))
+            plane = plane.transpose(0, 2, 3, 1)
+            if plane_fix is not None and plane_fix[i] is not None:
+                fix = plane_fix[i][s]
+                if fix is not None:
+                    plane = plane + jnp.take(fix, blocks, axis=0)
+            outs.append(plane)
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
         return out if extra_fn is None else extra_fn(out)
 
@@ -458,55 +541,18 @@ def pallas_eligible(bt: BlockTables, *, viscous=False, fix3=None, cut3=None,
             and frozen is None and mu_t3 is None and not _has_sparse(bt))
 
 
-def _cols_scatter_add_cs(bt: BlockTables, Xc, cols, d: int, ch0: int,
-                         ch1: int):
-    """Compact correction application: ``cols[s] = (blocks, vals)`` from
-    `interface_corrections(compact=True)`; adds the [V, lat.., n]
-    edge-plane values into channels [ch0:ch1] of ``Xc`` as V*n wide
-    (npb-element) row scatter-adds on the [B*C, npb] view.
-
-    MEASURED LOSS — kept only as the reference point (round-4 A/B on the
-    5.3M-cell sphere bench): 74.6 ms/step vs 55.0 with `_cols_add_cs`.
-    Each ``.at[rows].add`` is a standalone scatter XLA cannot fuse, so
-    every call re-materializes the full 100-320 MB operand once per
-    (d, s) — a dozen un-fused copies per RHS eval — whereas the
-    inverse-permutation ``place`` + streamed ``out + full`` add is one
-    fused pass per call."""
-    B, bs = bt.n_blocks, bt.block_size
-    Ctot = Xc.shape[1]
-    npb = bs ** bt.nd
-    n = ch1 - ch0
-    view = Xc.reshape(B * Ctot, npb)
-    ch = jnp.arange(ch0, ch1, dtype=jnp.int32)
-    for s in (0, 1):
-        if cols[s] is None:
-            continue
-        blocks, vals = cols[s]
-        V = vals.shape[0]
-        vT = vals.transpose(0, 3, 1, 2)          # [V, n, lat0, lat1]
-        if d == 2:
-            pad = vT.reshape(V, n, 1, bs * bs)
-            z = jnp.zeros((V, n, bs - 1, bs * bs), vT.dtype)
-            full = (jnp.concatenate([pad, z], axis=2) if s == 0
-                    else jnp.concatenate([z, pad], axis=2))
-        elif d == 1:
-            z = jnp.zeros((V, n, bs, bs * (bs - 1)), vT.dtype)
-            full = (jnp.concatenate([vT, z], axis=3) if s == 0
-                    else jnp.concatenate([z, vT], axis=3))
-        else:
-            z = jnp.zeros((V, n, bs, bs, bs - 1), vT.dtype)
-            full = (jnp.concatenate([vT[..., None], z], axis=4) if s == 0
-                    else jnp.concatenate([z, vT[..., None]], axis=4))
-        rows = (blocks[:, None].astype(jnp.int32) * Ctot + ch).reshape(-1)
-        view = view.at[rows].add(full.reshape(V * n, npb),
-                                 unique_indices=True)
-    return view.reshape(Xc.shape)
-
-
 def _cols_add_cs(bt: BlockTables, Xc, cols, d: int, ch0: int, ch1: int):
     """Add cell-major edge-column corrections [B, lat.., n] into channels
     [ch0:ch1] of the channel-split grid ``Xc`` at the side-s edge slots
-    (the iota-where of `face_accumulate`, re-expressed channel-split)."""
+    (the iota-where of `face_accumulate`, re-expressed channel-split).
+
+    Formulation note (round-4 A/B, 5.3M-cell sphere bench): a "compact"
+    variant that scatter-added only the (few) interface block rows via
+    ``.at[rows].add`` on the [B*C, npb] view measured 74.6 ms/step vs
+    55.0 for this streamed add and was deleted — each scatter is a
+    standalone op XLA cannot fuse, so every call re-materialized the
+    full 100-320 MB operand, whereas the chained ``out + full`` adds of
+    this formulation fuse into one pass over ``Xc``."""
     B, bs = bt.n_blocks, bt.block_size
     n = ch1 - ch0
     out = Xc
@@ -551,6 +597,7 @@ def euler_rhs_cs(
     *,
     high_order: bool = True,
     with_dt: bool = False,
+    with_frozen: bool = False,
 ):
     """Channel-split-native RHS: state in [B, C, bs, bs*bs] end to end.
 
@@ -562,10 +609,20 @@ def euler_rhs_cs(
     `euler_rhs_grid_pallas` (same kernels, same correction machinery —
     pass-B corrections are applied with `_cols_add_cs` instead of the
     cell-major iota-where; float-identical because both add the same
-    values to the same slots in one pass)."""
+    values to the same slots in one pass).
+
+    By default the 2:1 GRADIENT corrections are folded into the pass-B
+    kernel loads (`_edge_corr`; the streamed [B, nd*5, ..] XLA add they
+    replace measured 1.4 ms per RHS eval at the 5.3M-cell bench) and the
+    third return value is None.  ``with_frozen=True`` restores the
+    pre-added ``du_cs`` and returns the corrected ``(du_cs, nu_cs)``
+    (the frozen-limiter contract of `euler_rhs_grid_pallas`)."""
     nd, bs, B = bt.nd, bt.block_size, bt.n_blocks
     ncomp = Pc.shape[1]
     du_cs, aux = run_kernel_a(bt, fluid, Pc, with_dt=with_dt)
+    fold = not with_frozen
+    cols6 = None
+    fixB = [None] * nd  # per-axis (side0, side1) channel-last du fixes
 
     # 2:1 interface corrections for pass A (XLA; identical machinery —
     # planes are fetched from the gathered interface block rows of the
@@ -609,7 +666,13 @@ def euler_rhs_cs(
                 continue
             # cols channels: [du(5), G, U (, sf)] -> kernel-A outputs
             sub = [None if c is None else c[..., 0:5] for c in cols]
-            du_cs = _cols_add_cs(bt, du_cs, sub, d, d * 5, (d + 1) * 5)
+            if fold:
+                # defer to the pass-B kernel: keep the placed channel-last
+                # grids (for the fetchB plane fix) and build the kernel's
+                # per-(d, s) operands lazily below
+                fixB[d] = (sub[0], sub[1])
+            else:
+                du_cs = _cols_add_cs(bt, du_cs, sub, d, d * 5, (d + 1) * 5)
             csl = [(5, (d, d + 1)), (6, (nd + d, nd + d + 1))]
             if with_dt:
                 csl.append((7, (2 * nd + d, 2 * nd + d + 1)))
@@ -626,7 +689,20 @@ def euler_rhs_cs(
             nu_cs, (1e-7 + jnp.abs(Gs[:, d:d + 1]))
             / (1e-7 + Us[:, d:d + 1]))
 
-    Rc = run_kernel_b(bt, fluid, Pc, du_cs, nu_cs, high_order=high_order)
+    if fold and any(f is not None for f in fixB):
+        # kernel operands: [B, 5, 1, bs*bs] (z) / [B, 5, bs, bs] (y, x)
+        def kernel_cdu(d, c):
+            if c is None:
+                shp = ((B, 5, 1, bs * bs) if d == 2 else (B, 5, bs, bs))
+                return jnp.zeros(shp, Pc.dtype)
+            cT = c.transpose(0, 3, 1, 2)
+            return cT.reshape(B, 5, 1, bs * bs) if d == 2 else cT
+
+        cols6 = [kernel_cdu(d, fixB[d][s] if fixB[d] else None)
+                 for d in range(nd) for s in (0, 1)]
+
+    Rc = run_kernel_b(bt, fluid, Pc, du_cs, nu_cs, high_order=high_order,
+                      cols6=cols6)
 
     # 2:1 corrections for pass B (channel-split add over all 5 channels)
     if any(_has_ifc(bt, d) for d in range(nd)):
@@ -635,7 +711,9 @@ def euler_rhs_cs(
             if not _has_ifc(bt, d):
                 continue
             fetchB = _cs_edge_fetch(
-                bt, [Pc, du_cs[:, d * 5:(d + 1) * 5], nu_cs], d)
+                bt, [Pc, du_cs[:, d * 5:(d + 1) * 5], nu_cs], d,
+                plane_fix=(None if fixB[d] is None
+                           else [None, fixB[d], None]))
 
             def face_B(Wo, Wn, ho, hn, d=d):
                 Po, Pn = Wo[0], Wn[0]
@@ -670,7 +748,8 @@ def euler_rhs_cs(
     if with_dt:
         sfs = aux[:, 2 * nd:3 * nd]
         dtb = sfs[:, 0:1] + sfs[:, 1:2] + sfs[:, 2:3]
-        return Rc, dtb, (du_cs, nu_cs)
+        # fold mode leaves du_cs uncorrected — never hand it out
+        return Rc, dtb, ((du_cs, nu_cs) if with_frozen else None)
     return Rc
 
 
@@ -690,8 +769,11 @@ def euler_rhs_grid_pallas(
     the cs state directly via `rk2_step_cs`)."""
     nd, bs, B = bt.nd, bt.block_size, bt.n_blocks
     Pc = cs_split(bt, P3)
+    # with_dt callers receive the (du3, nu3) frozen grids, so the
+    # corrected du must be materialized (with_frozen); the plain-RHS call
+    # uses the in-kernel fold
     out = euler_rhs_cs(bt, fluid, Pc, high_order=high_order,
-                       with_dt=with_dt)
+                       with_dt=with_dt, with_frozen=with_dt)
     if with_dt:
         Rc, dtb, (du_cs, nu_cs) = out
         dt3 = (cfl / dtb[:, 0]).reshape((B,) + (bs,) * nd)
