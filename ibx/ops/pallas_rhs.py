@@ -481,7 +481,7 @@ def run_kernel_b(bt: BlockTables, fluid: Fluid, Pc, du_cs, nu_cs, *,
 # ---------------------------------------------------------------------------
 
 def _cs_edge_fetch(bt: BlockTables, arrays_cs, d: int, extra_fn=None,
-                   plane_fix=None):
+                   plane_fix=None, channel_slice=None):
     """edge_fetch for `block_ops.interface_corrections` over channel-split
     operands: gather the (few) interface block rows whole, slice the
     side-``s`` edge plane, return channel-LAST [V, lat.., Ktot] — avoids
@@ -493,7 +493,13 @@ def _cs_edge_fetch(bt: BlockTables, arrays_cs, d: int, extra_fn=None,
     gradient corrections are folded into the pass-B kernel (`_edge_corr`)
     so the XLA-side ``du_cs`` stays uncorrected (the fetched edge planes
     are exactly where the corrections live; adding the placed rows here
-    reproduces the pre-added values bitwise)."""
+    reproduces the pre-added values bitwise).
+
+    ``channel_slice``: optional list parallel to ``arrays_cs``; entry i is
+    None or a (c0, c1) range sliced out of part i AFTER the row gather —
+    pre-slicing e.g. the face-dim 5 channels of the [B, nd*5, ..]
+    gradient array materialized a full-size copy per axis (~0.8 ms per
+    RHS eval at bench scale) just to read a few hundred block rows."""
     bs = bt.block_size
 
     def fetch(s, blocks):
@@ -504,6 +510,9 @@ def _cs_edge_fetch(bt: BlockTables, arrays_cs, d: int, extra_fn=None,
             V = blocks.shape[0]
             rows = jnp.take(flat, blocks, axis=0)
             X5 = rows.reshape(V, Xc.shape[1], bs, bs, bs)
+            if channel_slice is not None and channel_slice[i] is not None:
+                c0, c1 = channel_slice[i]
+                X5 = X5[:, c0:c1]
             if d == 2:
                 plane = X5[:, :, e]
             elif d == 1:
@@ -711,9 +720,10 @@ def euler_rhs_cs(
             if not _has_ifc(bt, d):
                 continue
             fetchB = _cs_edge_fetch(
-                bt, [Pc, du_cs[:, d * 5:(d + 1) * 5], nu_cs], d,
+                bt, [Pc, du_cs, nu_cs], d,
                 plane_fix=(None if fixB[d] is None
-                           else [None, fixB[d], None]))
+                           else [None, fixB[d], None]),
+                channel_slice=[None, (d * 5, (d + 1) * 5), None])
 
             def face_B(Wo, Wn, ho, hn, d=d):
                 Po, Pn = Wo[0], Wn[0]
@@ -814,6 +824,84 @@ def s2p_guarded_cs(fluid: Fluid, Qc, p_floor=1.0, u_max=3000.0,
         [jnp.clip(p, p_floor, p_ceil), T, u * scale], axis=1)
 
 
+def _kernel_update(fluid_consts, cfl, with_r1, with_act,
+                   P_ref, R0_ref, *refs):
+    """Per-block fused RK2 update stage: p2s -> Q0 + dt*R -> guarded s2p,
+    entirely in VMEM.  The XLA formulation of the same chain let the
+    layout assigner flip the state between the kernels' {3,2,1,0} and an
+    elementwise-preferred {3,2,0,1}, inserting ~3-4 ms/step of relayout
+    copies at the 5.3M-cell bench.  Expressions copy `p2s_cs` /
+    `s2p_guarded_cs` verbatim (channel axis 0 in-kernel) — bitwise-equal
+    output."""
+    gamma, R = fluid_consts
+    i = 0
+    R1_ref = None
+    if with_r1:
+        R1_ref, i = refs[0], 1
+    dtb_ref = refs[i]
+    act_ref = refs[i + 1] if with_act else None
+    out_ref = refs[i + 1 + (1 if with_act else 0)]
+
+    P = P_ref[0]
+    # p2s (p2s_cs, channel axis 0)
+    p = P[0:1]
+    T = jnp.clip(P[1:2], 10.0, None)
+    u = P[2:]
+    kin = (u ** 2).sum(axis=0, keepdims=True) / 2
+    rho = p / (R * T)
+    E = rho * (R / (gamma - 1.0) * T + kin)
+    Q0 = jnp.concatenate([rho, E, rho * u], axis=0)
+
+    dt = cfl / dtb_ref[0]
+    if with_act:
+        dt = dt * act_ref[0]
+    if with_r1:
+        Qn = Q0 + dt * (R0_ref[0] + R1_ref[0]) / 2
+    else:
+        Qn = Q0 + dt * R0_ref[0]
+
+    # guarded s2p (s2p_guarded_cs defaults)
+    rho = jnp.maximum(Qn[0:1], 1e-6)
+    E = Qn[1:2]
+    u = Qn[2:] / rho
+    kin = (u ** 2).sum(axis=0, keepdims=True) / 2
+    p = (gamma - 1.0) * (E - rho * kin)
+    T = jnp.clip(p / (rho * R), 10.0, 2e4)
+    vmag = jnp.sqrt((u ** 2).sum(axis=0, keepdims=True) + 1e-12)
+    scale = jnp.minimum(1.0, 3000.0 / vmag)
+    out_ref[0] = jnp.concatenate(
+        [jnp.clip(p, 1.0, 1e9), T, u * scale], axis=0)
+
+
+def run_update(bt: BlockTables, fluid: Fluid, Pc, R0, R1, dtb, active_cs,
+               cfl: float):
+    """Fused RK2 update stage (stage 1 when ``R1`` is None)."""
+    bs, B = bt.block_size, bt.n_blocks
+    consts = (float(fluid.gamma), float(fluid.R))
+    with_r1 = R1 is not None
+    with_act = active_cs is not None
+    kern = functools.partial(_kernel_update, consts, float(cfl),
+                             with_r1, with_act)
+    def spec(ch):
+        # plain grid (no scalar prefetch): 1-arg index map
+        return pl.BlockSpec((1, ch, bs, bs * bs), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    ops = [Pc, R0] + ([R1] if with_r1 else []) + [dtb] \
+        + ([active_cs] if with_act else [])
+    in_specs = [spec(5), spec(5)] \
+        + ([spec(5)] if with_r1 else []) + [spec(1)] \
+        + ([spec(1)] if with_act else [])
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=spec(5),
+        out_shape=jax.ShapeDtypeStruct((B, 5, bs, bs * bs), Pc.dtype),
+        interpret=_interpret(),
+    )(*ops)
+
+
 def rk2_step_cs(
     bt: BlockTables,
     fluid: Fluid,
@@ -832,12 +920,10 @@ def rk2_step_cs(
     ``active_cs``: f32[B, 1, bs, bs*bs] 0/1 freeze mask."""
     R0, dtb, _ = euler_rhs_cs(bt, fluid, Pc, high_order=high_order,
                               with_dt=True)
-    dt = cfl / dtb
-    if active_cs is not None:
-        dt = dt * active_cs
-    Q0 = p2s_cs(fluid, Pc)
-    P1 = apply_bcs_cs(s2p_guarded_cs(fluid, Q0 + dt * R0))
+    P1 = apply_bcs_cs(run_update(bt, fluid, Pc, R0, None, dtb, active_cs,
+                                 cfl))
     R1 = euler_rhs_cs(bt, fluid, P1, high_order=high_order)
-    P2 = apply_bcs_cs(s2p_guarded_cs(fluid, Q0 + dt * (R0 + R1) / 2))
+    P2 = apply_bcs_cs(run_update(bt, fluid, Pc, R0, R1, dtb, active_cs,
+                                 cfl))
     resnorm = jnp.abs(R0[:, 0]).max()
     return P2, resnorm
