@@ -102,6 +102,10 @@ class ShardedDomain:
                 pair_rows[(int(q), p)] = np.unique(sel)
 
         offsets = sorted({(p - q) % P for (q, p) in pair_rows})
+        # A skirt row is by construction owned by a DIFFERENT partition, so
+        # offset 0 can never carry traffic; its appearance would mean the
+        # skirt tables are broken (ADVICE r4).
+        assert 0 not in offsets, "skirt table maps a row to its own partition"
         send_idx_pp: List[np.ndarray] = []
         base: List[int] = []
         pos_maps: List[List[dict]] = []
@@ -303,7 +307,7 @@ class ShardedDomain:
         bufs = []
         for i, o in enumerate(self._offsets):
             send = jnp.take(u_own, t["send_idx_pp"][i][0], axis=0)
-            if o == 0 or P == 1:
+            if P == 1:  # self-copy: ppermute over a 1-ring is the identity
                 bufs.append(send)
                 continue
             perm = [(q, (q + o) % P) for q in range(P)]

@@ -123,7 +123,6 @@ class BlockedBC:
     # algebra over gathered boundary-block rows — zero narrow gathers,
     # zero scatters. dense_spec entries are static:
     #   (family_idx, dim, side, layers, p0, p1, w0, etas)
-    dense_rows: Tuple[jnp.ndarray, ...]   # int32[Bf] block ids per group
     dense_mask: Tuple[jnp.ndarray, ...]   # f32[Bf, L, (bs,)*(nd-1)]
     dense_spec: Tuple
     names: Tuple[str, ...]
@@ -899,7 +898,6 @@ def build_blocked_bc(dom, names: Sequence[str],
         blk_mask_u=blk_mask_u,
         dense_slot=tuple(jnp.asarray(s) for s in dense_slot),
         band_slot=band_slot,
-        dense_rows=tuple(jnp.asarray(r) for r in dense_rows_l),
         dense_mask=tuple(jnp.asarray(m) for m in dense_mask_l),
         dense_spec=tuple(dense_spec_l),
         names=tuple(names),
