@@ -63,7 +63,14 @@ def build_flat_plate(
     cfl: float = 0.5,
     high_order: bool = True,
     use_blocks: bool = True,
+    closure: str = "wray_agarwal",
 ) -> FlatPlateCase:
+    """``closure="mixing_length"`` — flagged accurate-Cf arm (VERDICT r4
+    item 6): Prandtl mixing-length eddy viscosity instead of the
+    reference's simplified Wray-Agarwal transport.  The independent BL
+    harness (scripts/flat_plate_ode.py) measured the WA closure -51% vs
+    Schultz-Grunow and mixing-length +5%; the default stays at reference
+    parity (the shipped -24% documented in BASELINE.md)."""
     wall = Line(np.array([0.0, 0.0]), np.array([length, 0.0]))
     msh = build_mesh(
         [0.0, 0.0], [length, height],
@@ -145,6 +152,9 @@ def build_flat_plate(
         blocked_bcs=blocked_bcs,
         high_order=high_order, use_blocks=use_blocks,
         dense_families=("farfield",),
+        closure=closure,
+        # wall = the domain floor: wall distance is the y coordinate
+        wall_distance=np.asarray(dom.centers)[:, 1].astype(np.float32),
     )
 
     P0 = np.tile(P_inf, (dom.ncells, 1))

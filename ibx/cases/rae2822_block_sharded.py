@@ -52,7 +52,8 @@ def build_rae2822_block_sharded(
             te_fix_radius=te_fix_radius, **kwargs,
         )
     mesh = make_device_mesh(n_devices)
-    sbd = ShardedBlockDomain(case.dom, mesh, overlap=overlap)
+    sbd = ShardedBlockDomain(case.dom, mesh, overlap=overlap,
+                             bc_names=["farfield", "wall"])
 
     fluid = case.fluid
     farfield_bc = flow_bc(fluid, case.P_inf)
@@ -87,8 +88,11 @@ def build_rae2822_block_sharded(
         use_overlap = getattr(ctx, "bt_own", None) is not None
 
         def bcs(own):
-            return ctx.own(ctx.bc(ctx.exchange(own), bc_fns,
-                                  guard=physicality_guard))
+            # per-device BlockedBC: the single-chip BC fast paths
+            # (dense-plane templates, stencil dedup, phase-view placement)
+            # applied to the local [B_loc, bs, bs, C] grid
+            return ctx.own(ctx.bbc(ctx.exchange(own), bc_fns,
+                                   guard=physicality_guard))
 
         def rhs(own, with_dt):
             """Own-rows RHS; with overlap the interior pass carries no

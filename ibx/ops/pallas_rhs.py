@@ -873,10 +873,14 @@ def _kernel_update(fluid_consts, cfl, with_r1, with_act,
         [jnp.clip(p, 1.0, 1e9), T, u * scale], axis=0)
 
 
-def run_update(bt: BlockTables, fluid: Fluid, Pc, R0, R1, dtb, active_cs,
+def run_update(bt, fluid: Fluid, Pc, R0, R1, dtb, active_cs,
                cfl: float):
-    """Fused RK2 update stage (stage 1 when ``R1`` is None)."""
-    bs, B = bt.block_size, bt.n_blocks
+    """Fused RK2 update stage (stage 1 when ``R1`` is None).
+
+    Geometry comes from the operands (``bt`` is unused and may be None):
+    the sharded march updates OWN-chunk grids whose block count differs
+    from the local BlockTables'."""
+    B, _, bs, _ = Pc.shape
     consts = (float(fluid.gamma), float(fluid.R))
     with_r1 = R1 is not None
     with_act = active_cs is not None

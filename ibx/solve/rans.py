@@ -37,13 +37,26 @@ class RansMarch:
     apply_bcs: Callable
 
 
-def rans_rhs_grid(bt, fluid, S3, *, cfl: float, high_order: bool = True):
-    """RANS (NS + Wray-Agarwal) right-hand side on the block-grid state.
+def rans_rhs_grid(bt, fluid, S3, *, cfl: float, high_order: bool = True,
+                  closure: str = "wray_agarwal", d_wall3=None):
+    """RANS right-hand side on the block-grid state.
 
     ``S3`` is the fused [B, bs.., nch+1] state ([p T u.. Rt]); works with
     ANY BlockTables (single-device, sharded-local, or coarse multigrid
     level — the sharded and FAS paths reuse it). Returns
     ``(R_flow [.., nch], T3 [..] dRt/dt, dt3 [..])``.
+
+    ``closure``: ``"wray_agarwal"`` (default — the reference's simplified
+    one-equation model, ``src/turbulence.jl:222-241``) or
+    ``"mixing_length"`` — a FLAGGED deviation (VERDICT r4 item 6):
+    Prandtl mixing-length algebraic eddy viscosity
+    ``nu_t = (kappa d_wall)^2 S``.  The independent flat-plate BL harness
+    (scripts/flat_plate_ode.py) measured the pure simplified-WA closure
+    at -51% vs the Schultz-Grunow Cf correlation and the mixing-length
+    closure at +5%; the flag gives users accurate skin friction while
+    the default preserves reference parity.  Requires ``d_wall3``
+    (static wall distance, block grid [B, bs..]); the Rt channel is
+    frozen (T3 = 0).
     """
     from ..ops.block_ops import (
         cell_gradient_grid,
@@ -58,6 +71,28 @@ def rans_rhs_grid(bt, fluid, S3, *, cfl: float, high_order: bool = True):
     Rt3 = S3[..., nch:nch + 1]
     Rt_pos = jnp.maximum(Rt3, 0.0)
     rho3 = P3[..., 0:1] / (fluid.R * jnp.maximum(P3[..., 1:2], 10.0))
+
+    if closure == "mixing_length":
+        assert d_wall3 is not None, "mixing_length needs wall distances"
+        # S from pre-pass velocity gradients (the WA branch reuses the
+        # fused pass's gradients; here mu_t must exist BEFORE the
+        # viscous fluxes are assembled)
+        vg0 = [[cell_gradient_grid(bt, P3[..., 2 + i:3 + i], j)[..., 0]
+                for j in range(nd)] for i in range(nd)]
+        S0 = shear_rate(vg0)
+        nu_t3 = (0.41 * d_wall3) ** 2 * S0
+        mu_t3 = rho3 * nu_t3[..., None]
+        R_flow, dta, _ = euler_rhs_grid(
+            bt, fluid, P3, with_dt=True, cfl=cfl,
+            high_order=high_order, viscous=True, mu_t3=mu_t3)
+        nu_lam3 = dynamic_viscosity(fluid, P3[..., 1]) / rho3[..., 0]
+        bound = cfl / dta
+        nu_dt = nu_lam3 + nu_t3
+        for d in range(nd):
+            hcol = bt.h[:, d].reshape((bt.n_blocks,) + (1,) * nd)
+            bound = bound + 4.0 * nu_dt / (hcol * hcol)
+        return R_flow, jnp.zeros_like(S0), cfl / bound
+
     mu_t3 = rho3 * Rt_pos
     R_flow, dta, (du_grids, nu3) = euler_rhs_grid(
         bt, fluid, P3, with_dt=True, cfl=cfl,
@@ -159,10 +194,15 @@ def build_rans_march(
     high_order: bool = True,
     use_blocks: bool = True,
     dense_families: Optional[Sequence[str]] = None,
+    closure: str = "wray_agarwal",
+    wall_distance=None,          # f32[N], required for closure="mixing_length"
 ) -> RansMarch:
     part = dom.partitions[0]
     nd = dom.nd
     nch = 2 + nd
+    if closure == "mixing_length":
+        assert wall_distance is not None, "mixing_length needs wall_distance"
+        d_wall = jnp.asarray(wall_distance)
 
     def apply_bcs(P, Rt):
         Rt2 = Rt[:, None]
@@ -171,9 +211,19 @@ def build_rans_march(
         return P, Rt2[:, 0]
 
     def rans_rhs(P, Rt):
-        """(dQ/dt, dRt/dt): NS + Wray-Agarwal transport."""
+        """(dQ/dt, dRt/dt): NS + turbulence closure."""
         Rt_pos = jnp.maximum(Rt, 0.0)
         rho = P[:, 0] / (fluid.R * jnp.maximum(P[:, 1], 10.0))
+        if closure == "mixing_length":
+            # flagged Prandtl mixing-length arm (see `rans_rhs_grid`)
+            grad0 = ops.cell_gradient(part, P)
+            vg0 = [[grad0[j][:, 2 + i] for j in range(nd)]
+                   for i in range(nd)]
+            S0 = shear_rate(vg0)
+            mu_t = rho * (0.41 * d_wall) ** 2 * S0
+            R_flow = euler_rhs(part, fluid, P, high_order=high_order,
+                               viscous=True, mu_t=mu_t)
+            return R_flow, jnp.zeros_like(Rt)
         mu_t = rho * Rt_pos
         R_flow = euler_rhs(part, fluid, P, high_order=high_order,
                            viscous=True, mu_t=mu_t)
@@ -204,8 +254,14 @@ def build_rans_march(
     def local_dt(P, Rt):
         a_loc = speed_of_sound(fluid, P[:, 1])
         rho = P[:, 0] / (fluid.R * jnp.maximum(P[:, 1], 10.0))
-        nu_eff = dynamic_viscosity(fluid, P[:, 1]) / rho \
-            + jnp.maximum(Rt, 0.0)
+        if closure == "mixing_length":
+            grad0 = ops.cell_gradient(part, P)
+            vg0 = [[grad0[j][:, 2 + i] for j in range(nd)]
+                   for i in range(nd)]
+            nu_turb = (0.41 * d_wall) ** 2 * shear_rate(vg0)
+        else:
+            nu_turb = jnp.maximum(Rt, 0.0)
+        nu_eff = dynamic_viscosity(fluid, P[:, 1]) / rho + nu_turb
         bound = jnp.zeros(P.shape[0], dtype=P.dtype)
         for d in range(nd):
             s = jnp.abs(P[:, 2 + d]) + a_loc
@@ -241,6 +297,8 @@ def build_rans_march(
         bbc = build_blocked_bc(dom, [fam for fam, _ in flat_bcs],
                                dense_families=dense_families)
         active3 = jnp.asarray(to_blocks(bt, active[:, None])[..., 0])
+        d_wall3 = (to_blocks(bt, d_wall[:, None])[..., 0]
+                   if closure == "mixing_length" else None)
 
         def guard_b(g):
             return jnp.concatenate([
@@ -251,9 +309,15 @@ def build_rans_march(
         def apply_bcs3(S3):
             return bbc(S3, blocked_bcs, guard=guard_b)
 
+        def rhs3(S):
+            return rans_rhs_grid(bt, fluid, S, cfl=cfl,
+                                 high_order=high_order, closure=closure,
+                                 d_wall3=d_wall3)
+
         def one_step3(S3):
             return rans_rk2_grid(bt, fluid, S3, apply_bcs3, cfl=cfl,
-                                 high_order=high_order, active3=active3)
+                                 high_order=high_order, active3=active3,
+                                 rhs_fn=rhs3)
 
         def one_step_b(P, Rt):      # flat-state wrapper over the grid step
             S3 = to_blocks(bt, jnp.concatenate([P, Rt[:, None]], axis=1))

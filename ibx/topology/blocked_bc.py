@@ -213,9 +213,11 @@ class BlockedBC:
         placed = jnp.where(m[..., None], rows, 0.0).sum(axis=1)
         if self.ovf_src.shape[0]:
             # rare ghosts beyond T covering runs per tile: plain row scatter
+            # (mode="drop": sharded stacks pad ovf_dst with distinct OOB
+            # slots >= E*16, dropped here)
             placed = placed.reshape(E * 16, C).at[self.ovf_dst].set(
                 jnp.take(g, self.ovf_src, axis=0),
-                unique_indices=True, indices_are_sorted=True,
+                mode="drop", unique_indices=True, indices_are_sorted=True,
             ).reshape(E, 16, C)
         return placed
 
@@ -237,9 +239,12 @@ class BlockedBC:
         view = P3.reshape(P3.shape[0], npb * C)
         # ONE full-view row gather; every group below reads/writes the
         # small union buffer (per-group full-view gathers/scatters each
-        # dragged a state relayout copy on TPU)
+        # dragged a state relayout copy on TPU).  mode="clip": sharded
+        # stacks pad wb_blocks with distinct OOB rows (>= B_loc) whose
+        # reads clip to the last (dump) block and whose writes are
+        # dropped by `_wb_scatter`; the default take mode fills NaN.
         buf = lax.optimization_barrier(
-            jnp.take(view, self.wb_blocks, axis=0))
+            jnp.take(view, self.wb_blocks, axis=0, mode="clip"))
         if int(self.ghosts.shape[0]) == 0:
             # every ghost went through the dense-plane path
             dense_new = [self._dense_values(buf, i, fns, guard)
@@ -300,7 +305,7 @@ class BlockedBC:
         the full-state row view."""
         return view.at[self.wb_blocks].set(
             lax.optimization_barrier(buf),
-            unique_indices=True, indices_are_sorted=True,
+            mode="drop", unique_indices=True, indices_are_sorted=True,
         ).reshape(shape)
 
     def _ghost_write(self, buf, g, *, cs):
@@ -317,7 +322,7 @@ class BlockedBC:
         dense = jnp.zeros((Bu * n_tiles, 16 * C), g.dtype).at[
             self.tile_loc_u].set(
             placed.reshape(E, 16 * C),
-            unique_indices=True, indices_are_sorted=True,
+            mode="drop", unique_indices=True, indices_are_sorted=True,
         ).reshape(Bu, npb, C)
         # where(), not blend-by-multiply: NaN in non-ghost placed slots
         # must not contaminate the kept state
@@ -339,7 +344,7 @@ class BlockedBC:
         npb = bs ** nd
         C = buf.shape[-1] // npb
         rows = self.dense_slot[i]
-        blk = jnp.take(buf, rows, axis=0)
+        blk = jnp.take(buf, rows, axis=0, mode="clip")
         blk = blk.reshape((rows.shape[0],) + (bs,) * nd + (C,))
         ax = 1 + (nd - 1 - d)
         Pi = (w0 * lax.index_in_dim(blk, p0, axis=ax, keepdims=False)
@@ -366,7 +371,7 @@ class BlockedBC:
         C = buf.shape[-1] // npb
         rows = self.dense_slot[i]
         mask = self.dense_mask[i]
-        blk = jnp.take(buf, rows, axis=0)
+        blk = jnp.take(buf, rows, axis=0, mode="clip")
         blk = blk.reshape((rows.shape[0],) + (bs,) * nd + (C,))
         ax = 1 + (nd - 1 - d)
 
@@ -378,7 +383,7 @@ class BlockedBC:
         blk = _concat_layer_update(blk, ax, bs, layers, side, new_plane)
         return buf.at[rows].set(
             blk.reshape(rows.shape[0], -1),
-            unique_indices=True, indices_are_sorted=True,
+            mode="drop", unique_indices=True, indices_are_sorted=True,
         )
 
     # ------------------------------------------------------------------
@@ -422,7 +427,7 @@ class BlockedBC:
         npb = self.bs ** self.nd
         view = Pc.reshape(Pc.shape[0], C * npb)
         buf = lax.optimization_barrier(
-            jnp.take(view, self.wb_blocks, axis=0))
+            jnp.take(view, self.wb_blocks, axis=0, mode="clip"))
         if int(self.ghosts.shape[0]) == 0:
             dense_new = [self._dense_values_cs(buf, i, fns, guard)
                          for i in range(len(self.dense_spec))]
@@ -454,7 +459,7 @@ class BlockedBC:
         npb = bs ** nd
         C = buf.shape[-1] // npb
         rows = self.dense_slot[i]
-        blk = jnp.take(buf, rows, axis=0)
+        blk = jnp.take(buf, rows, axis=0, mode="clip")
         blk = blk.reshape((rows.shape[0], C) + (bs,) * nd)
         ax = 2 + (nd - 1 - d)
         Pi = (w0 * lax.index_in_dim(blk, p0, axis=ax, keepdims=False)
@@ -487,7 +492,7 @@ class BlockedBC:
         C = buf.shape[-1] // npb
         rows = self.dense_slot[i]
         mask = self.dense_mask[i]
-        blk = jnp.take(buf, rows, axis=0)
+        blk = jnp.take(buf, rows, axis=0, mode="clip")
         blk = blk.reshape((rows.shape[0], C) + (bs,) * nd)
         ax = 2 + (nd - 1 - d)
 
@@ -499,38 +504,18 @@ class BlockedBC:
         blk = _concat_layer_update(blk, ax, bs, layers, side, new_plane)
         return buf.at[rows].set(
             blk.reshape(rows.shape[0], -1),
-            unique_indices=True, indices_are_sorted=True,
+            mode="drop", unique_indices=True, indices_are_sorted=True,
         )
 
 
-def build_blocked_bc(dom, names: Sequence[str],
-                     dense_families: Optional[Sequence[str]] = None,
-                     ) -> BlockedBC:
-    """Host compiler: fuse ``names`` families into a BlockedBC.
-
-    Requires a single-partition domain (global index space).
-
-    ``dense_families`` restricts the dense-plane fast path to the named
-    hypercube families (default: all of them). The dense path evaluates a
-    family's BC callback column-wise on plane-shaped inputs, so it is only
-    valid for callbacks that are pure functions of ``(Si, nrm)`` — exclude
-    any family whose callback closes over per-ghost tables (e.g. the
-    flat-plate wall-function BC, which indexes ``image_distances`` in the
-    general path's ghost order).
-    """
-    if dom.n_partitions != 1:
-        raise ValueError("build_blocked_bc requires n_partitions == 1")
-    msh = dom.mesh
-    bs = int(msh.block_size)
-    nd = msh.ndim
-    npb = bs ** nd
-    names = list(names)
-
+def _collect_families(dom, names: Sequence[str]) -> dict:
+    """Claimed-dedup (last listed family wins, matching the sequential
+    ``impose_bc`` semantics of the reference,
+    ``src/ImmersedBoundary.jl:1197-1247``) + concat of the named families'
+    host-boundary arrays into one canonical ghost set in the domain's
+    flat cell-id space."""
     ghost_l, idx_l, w_l, nrm_l, eta_l, fam_l = [], [], [], [], [], []
     imd_l = []
-    # overlapping ghosts (e.g. hypercube corner cells shared by two
-    # families): the LAST listed family wins, matching the sequential
-    # impose_bc semantics of the generic path
     claimed = {}
     for i, name in enumerate(names):
         hb = dom._host_boundaries[name]
@@ -559,12 +544,91 @@ def build_blocked_bc(dom, names: Sequence[str],
         return np.concatenate(
             [a] + [fill] * (K - a.shape[1]), axis=1)
 
-    idx = np.concatenate([padk(a, True) for a in idx_l])
-    w = np.concatenate([padk(a, False) for a in w_l]).astype(np.float32)
-    normals = np.concatenate(nrm_l).astype(np.float32)
-    eta = np.concatenate(eta_l).astype(np.float32)
-    imd = np.concatenate(imd_l).astype(np.float32)
-    family = np.concatenate(fam_l)
+    return dict(
+        ghosts=ghosts.astype(np.int64),
+        idx=np.concatenate([padk(a, True) for a in idx_l]).astype(np.int64),
+        w=np.concatenate([padk(a, False) for a in w_l]).astype(np.float32),
+        normals=np.concatenate(nrm_l).astype(np.float32),
+        eta=np.concatenate(eta_l).astype(np.float32),
+        imd=np.concatenate(imd_l).astype(np.float32),
+        family=np.concatenate(fam_l),
+    )
+
+
+def _dense_conf(bs: int, nd: int, fams: dict, fsel: np.ndarray) -> dict:
+    """Per-ghost conformance data for the dense-plane template algebra
+    over the family subset ``fsel``.  All quantities are invariant under
+    block-grid relocalization (within-block offsets and stencil weights
+    survive the global->local block remap), so templates discovered on
+    the global grid apply verbatim to per-device local grids."""
+    npb = bs ** nd
+    strides = np.array([bs ** k for k in range(nd)], np.int64)
+    n_f = fams["normals"][fsel]
+    d_ax = np.abs(n_f).argmax(1)
+    ar = np.arange(fsel.size)
+    unit = np.abs(np.abs(n_f[ar, d_ax]) - 1.0) < 1e-6
+    w_f = fams["w"][fsel]
+    idx_f = fams["idx"][fsel]
+    k2 = (np.abs(w_f[:, 2:]).max(1) == 0.0) if w_f.shape[1] > 2 \
+        else np.ones(fsel.size, bool)
+    g_f = fams["ghosts"][fsel]
+    blk_f = g_f // npb
+    wi = g_f % npb
+    coords = np.stack([(wi // strides[k]) % bs for k in range(nd)], 1)
+    i0, i1 = idx_f[:, 0], idx_f[:, 1]
+    same_blk = (i0 // npb == blk_f) & (i1 // npb == blk_f)
+    c0 = np.stack([((i0 % npb) // strides[k]) % bs
+                   for k in range(nd)], 1)
+    c1 = np.stack([((i1 % npb) // strides[k]) % bs
+                   for k in range(nd)], 1)
+    lat_ok = np.ones(fsel.size, bool)
+    for k in range(nd):
+        lat_ok &= np.where(d_ax != k,
+                           (c0[:, k] == coords[:, k])
+                           & (c1[:, k] == coords[:, k]), True)
+    side = n_f[ar, d_ax] < 0        # inward normal -e_d -> plus face
+    cd = coords[ar, d_ax]
+    layer = np.where(side, bs - 1 - cd, cd)
+    conf = unit & k2 & same_blk & lat_ok & (layer < bs // 2)
+    p0 = c0[ar, d_ax]
+    p1 = c1[ar, d_ax]
+    w0 = w_f[:, 0]
+    key = (p0.astype(np.int64) * npb + p1) * (1 << 32) \
+        + np.ascontiguousarray(w0).view(np.uint32)
+    return dict(conf=conf, d_ax=d_ax, side=side, layer=layer, key=key,
+                p0=p0, p1=p1, w0=w0, w1=w_f[:, 1], blk_f=blk_f,
+                coords=coords)
+
+
+def _f32_bits(x) -> np.uint32:
+    return np.asarray(x, np.float32).view(np.uint32)[()]
+
+
+def _compile_bc_tables(bs: int, nd: int, fams: dict, hcube_fam_idx,
+                       *, dense_templates=None, force_pad_len=None,
+                       force_T=None):
+    """Core host compiler: family arrays (any flat block-major cell-id
+    space) -> BlockedBC numpy tables.
+
+    ``dense_templates``: when given (the sharded per-device build), skip
+    template discovery and assign ghosts to exactly these groups with no
+    minimum-count thresholds — every device then shares one static
+    ``dense_spec`` (shard_map traces a single program), possibly with
+    empty per-device groups.  ``force_pad_len`` / ``force_T`` pin the
+    placement-table geometry to common values across devices.
+
+    Returns ``(fields, meta, templates)``: numpy leaf dict, static-meta
+    dict, and the dense template list (discovered or passed through).
+    """
+    npb = bs ** nd
+    ghosts = fams["ghosts"]
+    idx = fams["idx"]
+    w = fams["w"]
+    normals = fams["normals"]
+    eta = fams["eta"]
+    imd = fams["imd"]
+    family = fams["family"]
+    K = idx.shape[1]
 
     # ---- dense-plane hypercube groups --------------------------------------
     # Hypercube-family ghosts with exact unit-axis normals and the 2-point
@@ -573,98 +637,103 @@ def build_blocked_bc(dom, names: Sequence[str],
     # plane algebra over gathered boundary-block rows. On the 5.3M-cell
     # sphere this removes ~96% of the 122k farfield ghosts (~1M narrow
     # gather rows per application) from the general path.
-    hcube_names = {n for n, _ in
-                   dom.reconstruction_kwargs.get("hypercube_families", [])}
-    if dense_families is not None:
-        hcube_names &= set(dense_families)
     dense_rows_l, dense_mask_l, dense_spec_l = [], [], []
     dense_sel = np.zeros(ghosts.size, bool)
-    strides = np.array([bs ** k for k in range(nd)], np.int64)
-    for fam_i, name in enumerate(names):
-        if name not in hcube_names:
-            continue
-        fsel = np.nonzero(family == fam_i)[0]
-        if not fsel.size:
-            continue
-        n_f = normals[fsel]
-        d_ax = np.abs(n_f).argmax(1)
-        ar = np.arange(fsel.size)
-        unit = np.abs(np.abs(n_f[ar, d_ax]) - 1.0) < 1e-6
-        w_f = w[fsel]
-        idx_f = idx[fsel]
-        k2 = (np.abs(w_f[:, 2:]).max(1) == 0.0) if w_f.shape[1] > 2 \
-            else np.ones(fsel.size, bool)
-        g_f = ghosts[fsel]
-        blk_f = g_f // npb
-        wi = g_f % npb
-        coords = np.stack([(wi // strides[k]) % bs for k in range(nd)], 1)
-        i0, i1 = idx_f[:, 0], idx_f[:, 1]
-        same_blk = (i0 // npb == blk_f) & (i1 // npb == blk_f)
-        c0 = np.stack([((i0 % npb) // strides[k]) % bs
-                       for k in range(nd)], 1)
-        c1 = np.stack([((i1 % npb) // strides[k]) % bs
-                       for k in range(nd)], 1)
-        lat_ok = np.ones(fsel.size, bool)
-        for k in range(nd):
-            lat_ok &= np.where(d_ax != k,
-                               (c0[:, k] == coords[:, k])
-                               & (c1[:, k] == coords[:, k]), True)
-        side = n_f[ar, d_ax] < 0        # inward normal -e_d -> plus face
-        cd = coords[ar, d_ax]
-        layer = np.where(side, bs - 1 - cd, cd)
-        conf = unit & k2 & same_blk & lat_ok & (layer < bs // 2)
-        p0 = c0[ar, d_ax]
-        p1 = c1[ar, d_ax]
-        w0 = w_f[:, 0]
-        key = (p0.astype(np.int64) * npb + p1) * (1 << 32) \
-            + np.ascontiguousarray(w0).view(np.uint32)
-        for d in range(nd):
-            for s in (False, True):
-                mf = conf & (d_ax == d) & (side == s)
-                if mf.sum() < 4 * bs ** (nd - 1):
-                    continue
-                # one dense group per (p0, p1, w0-bits) template over the
-                # face — octrees with several block sizes at the boundary
-                # produce one template per size octave, and EVERY large
-                # one must go dense (the round-3 majority-only selection
-                # left ~46k conforming farfield ghosts on the 5.3M sphere
-                # to the general gather path)
-                vals, cnts = np.unique(key[mf], return_counts=True)
-                for tkey in vals[cnts >= 4 * bs ** (nd - 1)]:
-                    m = mf & (key == tkey)
-                    # per-layer eta must be single-valued (scale-invariant:
-                    # eta = (l+.5)/(1.5*sqrt(nd))); drop deviating ghosts
-                    eta_f = np.ascontiguousarray(eta[fsel], np.float32)
-                    eta_u32 = eta_f.view(np.uint32)
-                    for l in np.unique(layer[m]):
-                        ml = m & (layer == l)
-                        ev, ec = np.unique(eta_u32[ml], return_counts=True)
-                        m &= ~(ml & (eta_u32 != ev[ec.argmax()]))
-                    layers = [int(l) for l in np.unique(layer[m])]
-                    if not layers or m.sum() < 4 * bs ** (nd - 1):
+
+    def emit_group(cf, fsel, mi, spec):
+        fam_i, d, s, layers, p0, p1, w0, w1, etas = spec
+        Lh = len(layers)
+        if mi.size:
+            blk_f = cf["blk_f"]
+            coords = cf["coords"]
+            layer = cf["layer"]
+            blocks = np.unique(blk_f[mi])
+            b2r = {int(b): r for r, b in enumerate(blocks)}
+            l2i = {l: i for i, l in enumerate(layers)}
+            mask = np.zeros((blocks.size, Lh) + (bs,) * (nd - 1),
+                            np.float32)
+            lat_dims = [k for k in range(nd - 1, -1, -1) if k != d]
+            for gi in mi:
+                pos = tuple(int(coords[gi, k]) for k in lat_dims)
+                mask[(b2r[int(blk_f[gi])], l2i[int(layer[gi])])
+                     + pos] = 1.0
+            dense_sel[fsel[mi]] = True
+        else:
+            blocks = np.zeros(0, np.int64)
+            mask = np.zeros((0, Lh) + (bs,) * (nd - 1), np.float32)
+        dense_rows_l.append(blocks.astype(np.int32))
+        dense_mask_l.append(mask)
+        dense_spec_l.append(spec)
+
+    if dense_templates is None:
+        min_count = 4 * bs ** (nd - 1)
+        for fam_i in sorted(hcube_fam_idx):
+            fsel = np.nonzero(family == fam_i)[0]
+            if not fsel.size:
+                continue
+            cf = _dense_conf(bs, nd, fams, fsel)
+            eta_f = np.ascontiguousarray(eta[fsel], np.float32)
+            eta_u32 = eta_f.view(np.uint32)
+            for d in range(nd):
+                for s in (False, True):
+                    mf = cf["conf"] & (cf["d_ax"] == d) & (cf["side"] == s)
+                    if mf.sum() < min_count:
                         continue
-                    etas = [float(eta_f[m & (layer == l)][0])
-                            for l in layers]
-                    mi = np.nonzero(m)[0]
-                    blocks = np.unique(blk_f[mi])
-                    b2r = {int(b): r for r, b in enumerate(blocks)}
-                    Lh = len(layers)
-                    l2i = {l: i for i, l in enumerate(layers)}
-                    mask = np.zeros((blocks.size, Lh) + (bs,) * (nd - 1),
-                                    np.float32)
-                    lat_dims = [k for k in range(nd - 1, -1, -1) if k != d]
-                    for gi in mi:
-                        pos = tuple(int(coords[gi, k]) for k in lat_dims)
-                        mask[(b2r[int(blk_f[gi])], l2i[int(layer[gi])])
-                             + pos] = 1.0
-                    dense_rows_l.append(blocks.astype(np.int32))
-                    dense_mask_l.append(mask)
-                    dense_spec_l.append((
-                        int(fam_i), int(d), bool(s), tuple(layers),
-                        int(p0[mi[0]]), int(p1[mi[0]]), float(w0[mi[0]]),
-                        float(w_f[mi[0], 1]), tuple(etas),
-                    ))
-                    dense_sel[fsel[mi]] = True
+                    # one dense group per (p0, p1, w0-bits) template over
+                    # the face — octrees with several block sizes at the
+                    # boundary produce one template per size octave, and
+                    # EVERY large one must go dense (the round-3
+                    # majority-only selection left ~46k conforming
+                    # farfield ghosts on the 5.3M sphere to the general
+                    # gather path)
+                    vals, cnts = np.unique(cf["key"][mf],
+                                           return_counts=True)
+                    for tkey in vals[cnts >= min_count]:
+                        m = mf & (cf["key"] == tkey)
+                        # per-layer eta must be single-valued (scale-
+                        # invariant: eta = (l+.5)/(1.5*sqrt(nd))); drop
+                        # deviating ghosts
+                        for l in np.unique(cf["layer"][m]):
+                            ml = m & (cf["layer"] == l)
+                            ev, ec = np.unique(eta_u32[ml],
+                                               return_counts=True)
+                            m &= ~(ml & (eta_u32 != ev[ec.argmax()]))
+                        layers = [int(l) for l in np.unique(cf["layer"][m])]
+                        if not layers or m.sum() < min_count:
+                            continue
+                        etas = [float(eta_f[m & (cf["layer"] == l)][0])
+                                for l in layers]
+                        mi = np.nonzero(m)[0]
+                        spec = (int(fam_i), int(d), bool(s), tuple(layers),
+                                int(cf["p0"][mi[0]]), int(cf["p1"][mi[0]]),
+                                float(cf["w0"][mi[0]]),
+                                float(cf["w1"][mi[0]]), tuple(etas))
+                        emit_group(cf, fsel, mi, spec)
+    else:
+        # template mode: exact global membership predicate, no thresholds
+        cf_cache = {}
+        for spec in dense_templates:
+            fam_i, d, s, layers, p0t, p1t, w0t, w1t, etas = spec
+            fsel = np.nonzero(family == fam_i)[0]
+            if fsel.size:
+                if fam_i not in cf_cache:
+                    cf_cache[fam_i] = _dense_conf(bs, nd, fams, fsel)
+                cf = cf_cache[fam_i]
+                tkey = ((np.int64(p0t) * npb + np.int64(p1t)) * (1 << 32)
+                        + np.int64(_f32_bits(w0t)))
+                eta_u32 = np.ascontiguousarray(
+                    eta[fsel], np.float32).view(np.uint32)
+                m = (cf["conf"] & (cf["d_ax"] == d) & (cf["side"] == s)
+                     & (cf["key"] == tkey))
+                sel_le = np.zeros(fsel.size, bool)
+                for l, e in zip(layers, etas):
+                    sel_le |= (cf["layer"] == l) & (eta_u32 == _f32_bits(e))
+                mi = np.nonzero(m & sel_le)[0]
+            else:
+                cf = None
+                mi = np.zeros(0, np.int64)
+            emit_group(cf, fsel, mi, spec)
+
     if dense_sel.any():
         keep = ~dense_sel
         ghosts = ghosts[keep]
@@ -781,6 +850,9 @@ def build_blocked_bc(dom, names: Sequence[str],
     n_tiles = npb // 16
     pad_front = ((npb + 15) // 16 + 1) * 16   # window starts >= -npb
     pad_len = ((pad_front + G + 16 * 2 + 15) // 16) * 16 + 16
+    if force_pad_len is not None:
+        assert force_pad_len >= pad_len, "forced pad_len too small"
+        pad_len = int(force_pad_len)
     M = (pad_len - 16) // 16
     if G:
         brk = np.zeros(G, dtype=bool)
@@ -792,11 +864,12 @@ def build_blocked_bc(dom, names: Sequence[str],
         run_blk = blk_c[starts]
         run_s0 = within_c[starts]
         # entries[tile_gid] -> list of (phase_row, lo, hi, g_off_of_lo);
-        # tile_gid = global_block * n_tiles + tile indexes the
+        # tile_gid = block * n_tiles + tile indexes the
         # [B * n_tiles, 16 * C] row view of the state
         entries = {}
         for rs0, rlen, rblk, rgoff in zip(run_s0, lens, run_blk, starts):
-            for t in range(int(rs0) // 16, (int(rs0) + int(rlen) + 15) // 16):
+            for t in range(int(rs0) // 16,
+                           (int(rs0) + int(rlen) + 15) // 16):
                 a = pad_front + int(rgoff) - int(rs0) + 16 * t
                 row = (a % 16) * M + a // 16
                 lo = max(int(rs0) - 16 * t, 0)
@@ -810,6 +883,8 @@ def build_blocked_bc(dom, names: Sequence[str],
         # T covering runs per tile handled densely; overflow (rare) falls
         # back to a row scatter of the remaining ghosts
         T = min(2, max(len(v) for v in entries.values()))
+        if force_T is not None:
+            T = int(force_T)
         tile_row = np.zeros((E, T), np.int32)
         tile_lo = np.zeros((E, T), np.int32)
         tile_hi = np.zeros((E, T), np.int32)   # hi=0 -> empty mask
@@ -839,10 +914,11 @@ def build_blocked_bc(dom, names: Sequence[str],
         tile_mask[e_of_ghost, within_c % 16] = 1.0
         gblk = np.unique(gids // n_tiles)
     else:
+        T = int(force_T) if force_T is not None else 1
         gids = np.zeros((0,), np.int64)
-        tile_row = np.zeros((0, 1), np.int32)
-        tile_lo = np.zeros((0, 1), np.int32)
-        tile_hi = np.zeros((0, 1), np.int32)
+        tile_row = np.zeros((0, T), np.int32)
+        tile_lo = np.zeros((0, T), np.int32)
+        tile_hi = np.zeros((0, T), np.int32)
         ovf_src = np.zeros(0, np.int32)
         ovf_dst = np.zeros(0, np.int32)
         tile_mask = np.zeros((0, 16), np.float32)
@@ -873,7 +949,7 @@ def build_blocked_bc(dom, names: Sequence[str],
     band_slot = np.searchsorted(
         wb_blocks, band_blocks.astype(np.int64)).astype(np.int32)
 
-    bc = BlockedBC(
+    fields = dict(
         patch_start=patch_start,
         patch_w=patch_w,
         fb_cell=fb_cell,
@@ -896,18 +972,243 @@ def build_blocked_bc(dom, names: Sequence[str],
         wb_blocks=wb_blocks.astype(np.int32),
         tile_loc_u=tile_loc_u,
         blk_mask_u=blk_mask_u,
-        dense_slot=tuple(jnp.asarray(s) for s in dense_slot),
+        dense_slot=dense_slot,
         band_slot=band_slot,
-        dense_mask=tuple(jnp.asarray(m) for m in dense_mask_l),
-        dense_spec=tuple(dense_spec_l),
-        names=tuple(names),
-        bs=bs,
-        nd=nd,
+        dense_mask=tuple(dense_mask_l),
+    )
+    meta = dict(
         n_patch=Up,
         n_fb=Uf,
         fb_width=K,
         g_pad_front=pad_front,
         g_pad_len=pad_len,
         patch_win=win,
+        dense_spec=tuple(dense_spec_l),
+    )
+    return fields, meta, dense_spec_l
+
+
+def _hcube_fam_idx(dom, names, dense_families):
+    hcube_names = {n for n, _ in
+                   dom.reconstruction_kwargs.get("hypercube_families", [])}
+    if dense_families is not None:
+        hcube_names &= set(dense_families)
+    return {i for i, n in enumerate(names) if n in hcube_names}
+
+
+def build_blocked_bc(dom, names: Sequence[str],
+                     dense_families: Optional[Sequence[str]] = None,
+                     ) -> BlockedBC:
+    """Host compiler: fuse ``names`` families into a BlockedBC.
+
+    Requires a single-partition domain (global index space).
+
+    ``dense_families`` restricts the dense-plane fast path to the named
+    hypercube families (default: all of them). The dense path evaluates a
+    family's BC callback column-wise on plane-shaped inputs, so it is only
+    valid for callbacks that are pure functions of ``(Si, nrm)`` — exclude
+    any family whose callback closes over per-ghost tables (e.g. the
+    flat-plate wall-function BC, which indexes ``image_distances`` in the
+    general path's ghost order).
+    """
+    if dom.n_partitions != 1:
+        raise ValueError("build_blocked_bc requires n_partitions == 1")
+    msh = dom.mesh
+    bs = int(msh.block_size)
+    nd = msh.ndim
+    names = list(names)
+    fams = _collect_families(dom, names)
+    fields, meta, _ = _compile_bc_tables(
+        bs, nd, fams, _hcube_fam_idx(dom, names, dense_families))
+    return _make_blocked_bc(fields, meta, names, bs, nd)
+
+
+def _make_blocked_bc(fields, meta, names, bs, nd) -> BlockedBC:
+    arr = {k: (tuple(jnp.asarray(x) for x in v) if isinstance(v, tuple)
+               else jnp.asarray(v))
+           for k, v in fields.items()}
+    bc = BlockedBC(
+        **arr,
+        dense_spec=tuple(meta["dense_spec"]),
+        names=tuple(names),
+        bs=bs,
+        nd=nd,
+        n_patch=meta["n_patch"],
+        n_fb=meta["n_fb"],
+        fb_width=meta["fb_width"],
+        g_pad_front=meta["g_pad_front"],
+        g_pad_len=meta["g_pad_len"],
+        patch_win=meta["patch_win"],
     )
     return jax.device_put(bc)
+
+
+def build_blocked_bc_stacked(dom, names: Sequence[str], own_of_block,
+                             g2l_list, B_loc: int,
+                             dense_families: Optional[Sequence[str]] = None,
+                             ):
+    """Per-device BlockedBC tables for the sharded block runtime
+    (VERDICT r4 item 1: the production BC fast paths must run under the
+    sharded march, not only single-chip).
+
+    Each device's own ghosts (ghost block owned per ``own_of_block``) are
+    compiled into BlockedBC tables over the device's LOCAL block grid
+    (``B_loc`` rows = own chunk + halo + dump; ``g2l_list[p]`` maps
+    global block id -> local row, -1 where absent).  Dense-plane
+    templates are discovered ONCE on the global ghost set so every
+    device shares the same static ``dense_spec`` (shard_map traces one
+    program for all devices); per-device leaves are padded to common
+    shapes with inert entries — weight-0 stencils, OOB write slots
+    dropped by the ``mode="drop"`` scatters, OOB read slots clipped.
+
+    Returns ``(stacked, meta)``: ``stacked`` = numpy leaves with a
+    leading device axis (tuples of such for dense groups); ``meta`` =
+    kwargs for `local_blocked_bc`.
+    """
+    if dom.n_partitions != 1:
+        raise ValueError("build from a single-partition Domain")
+    msh = dom.mesh
+    bs = int(msh.block_size)
+    nd = msh.ndim
+    npb = bs ** nd
+    names = list(names)
+    fams = _collect_families(dom, names)
+    hidx = _hcube_fam_idx(dom, names, dense_families)
+    # global template discovery (tables discarded; host-side, cheap
+    # relative to the Domain build)
+    _, _, templates = _compile_bc_tables(bs, nd, fams, hidx)
+
+    P = len(g2l_list)
+    own_of_block = np.asarray(own_of_block)
+    owner_g = own_of_block[fams["ghosts"] // npb]
+    G_max = max(1, int(np.max(np.bincount(owner_g, minlength=P))))
+    pad_front = ((npb + 15) // 16 + 1) * 16
+    pad_len = ((pad_front + G_max + 16 * 2 + 15) // 16) * 16 + 16
+
+    tabs, metas = [], []
+    for p in range(P):
+        sel = owner_g == p
+        g2l = np.asarray(g2l_list[p])
+        f = {k: v[sel] for k, v in fams.items()}
+        gb = f["ghosts"] // npb
+        ib = f["idx"] // npb
+        assert (g2l[gb] >= 0).all(), "own ghost outside local grid"
+        assert (g2l[ib] >= 0).all(), "BC stencil escaped the halo set"
+        f["ghosts"] = g2l[gb] * npb + f["ghosts"] % npb
+        f["idx"] = g2l[ib] * npb + f["idx"] % npb
+        fields, meta, _ = _compile_bc_tables(
+            bs, nd, f, hidx, dense_templates=templates,
+            force_pad_len=pad_len, force_T=2)
+        tabs.append(fields)
+        metas.append(meta)
+
+    stacked = _stack_bc_fields(tabs, metas, bs, nd, B_loc, len(templates))
+    meta = dict(
+        names=tuple(names),
+        bs=bs,
+        nd=nd,
+        n_patch=max(m["n_patch"] for m in metas),
+        n_fb=max(m["n_fb"] for m in metas),
+        fb_width=metas[0]["fb_width"],
+        g_pad_front=pad_front,
+        g_pad_len=pad_len,
+        patch_win=metas[0]["patch_win"],
+        dense_spec=tuple(templates),
+    )
+    return stacked, meta
+
+
+def _stack_bc_fields(tabs, metas, bs, nd, B_loc, n_groups):
+    """Stack per-device BlockedBC numpy tables with inert padding (see
+    `build_blocked_bc_stacked` for the padding contract)."""
+    npb = bs ** nd
+    n_tiles = npb // 16
+
+    def pad_rows(a, n, fill=0):
+        if a.shape[0] == n:
+            return a
+        pad = np.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    def pad_iota(a, n, base):
+        """Pad with base + j: distinct ascending OOB slots (reads clip,
+        writes drop)."""
+        if a.shape[0] == n:
+            return a
+        extra = (base + np.arange(n - a.shape[0])).astype(a.dtype)
+        return np.concatenate([a, extra], axis=0)
+
+    Up_max = max(m["n_patch"] for m in metas)
+    Uf_max = max(m["n_fb"] for m in metas)
+    K = metas[0]["fb_width"]
+    G_max = max(t["g2u"].shape[0] for t in tabs)
+    E_max = max(t["tile_gid"].shape[0] for t in tabs)
+    O_max = max(t["ovf_src"].shape[0] for t in tabs)
+    Bu_max = max(t["wb_blocks"].shape[0] for t in tabs)
+    Bb_max = max(t["band_slot"].shape[0] for t in tabs)
+    Bf_max = [max(t["dense_slot"][g].shape[0] for t in tabs)
+              for g in range(n_groups)]
+
+    out = {}
+
+    def put(k, v):
+        out.setdefault(k, []).append(v)
+
+    for t, m in zip(tabs, metas):
+        Up, Uf = m["n_patch"], m["n_fb"]
+        G = t["g2u"].shape[0]
+        # unique-value rows concat as [patch(Up_max), fb(Uf_max)]: shift
+        # fb-range g2u entries by the patch padding
+        g2u = t["g2u"].astype(np.int64)
+        g2u = np.where(g2u < Up, g2u, g2u + (Up_max - Up)).astype(np.int32)
+        put("patch_start", pad_rows(t["patch_start"], Up_max))
+        put("patch_w", pad_rows(t["patch_w"], Up_max))
+        put("fb_cell",
+            pad_rows(t["fb_cell"].reshape(Uf, K), Uf_max).reshape(-1))
+        put("fb_cell_band",
+            pad_rows(t["fb_cell_band"].reshape(Uf, K), Uf_max).reshape(-1))
+        put("fb_w", pad_rows(t["fb_w"], Uf_max))
+        put("band_blocks", pad_rows(t["band_blocks"], Bb_max))
+        put("band_slot", pad_rows(t["band_slot"], Bb_max))
+        put("g2u", pad_rows(g2u, G_max))
+        nrm = t["normals"]
+        if nrm.shape[0] < G_max:
+            padn = np.zeros((G_max - nrm.shape[0], nd), np.float32)
+            padn[:, 0] = 1.0    # unit pad normal: keeps BC callbacks finite
+            nrm = np.concatenate([nrm, padn], axis=0)
+        put("normals", nrm)
+        put("eta", pad_rows(t["eta"], G_max))
+        put("image_distances",
+            pad_rows(t["image_distances"], G_max, fill=1.0))
+        put("family", pad_rows(t["family"], G_max))
+        put("ghosts", pad_rows(t["ghosts"], G_max))
+        put("tile_gid", pad_rows(t["tile_gid"], E_max))
+        put("tile_row", pad_rows(t["tile_row"], E_max))
+        put("tile_lo", pad_rows(t["tile_lo"], E_max))
+        put("tile_hi", pad_rows(t["tile_hi"], E_max))
+        put("tile_mask", pad_rows(t["tile_mask"], E_max))
+        put("tile_loc_u",
+            pad_iota(t["tile_loc_u"], E_max, Bu_max * n_tiles))
+        put("ovf_src", pad_rows(t["ovf_src"], O_max))
+        put("ovf_dst", pad_iota(t["ovf_dst"], O_max, E_max * 16))
+        put("wb_blocks", pad_iota(t["wb_blocks"], Bu_max, B_loc))
+        put("blk_mask_u", pad_rows(t["blk_mask_u"], Bu_max))
+        for g in range(n_groups):
+            put(f"dense_slot_{g}",
+                pad_iota(t["dense_slot"][g], Bf_max[g], Bu_max))
+            put(f"dense_mask_{g}", pad_rows(t["dense_mask"][g], Bf_max[g]))
+
+    stacked = {k: np.stack(v) for k, v in out.items()}
+    # fold group leaves back into tuples (pytree-friendly)
+    stacked["dense_slot"] = tuple(
+        stacked.pop(f"dense_slot_{g}") for g in range(n_groups))
+    stacked["dense_mask"] = tuple(
+        stacked.pop(f"dense_mask_{g}") for g in range(n_groups))
+    return stacked
+
+
+def local_blocked_bc(t, meta) -> BlockedBC:
+    """Assemble a per-device BlockedBC inside a shard_map kernel from this
+    device's slice of the stacked tables (leading device axis already
+    stripped by the caller)."""
+    return BlockedBC(**t, **meta)

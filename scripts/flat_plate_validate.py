@@ -42,6 +42,14 @@ def main():
             steps = int(v)
         elif k == "out":
             OUT = v
+        elif k == "closure":
+            # closure=mixing_length: the flagged accurate-Cf arm
+            # (VERDICT r4 item 6); writes flat_plate_cf_ml.npz unless
+            # out= overrides
+            CFG[k] = v
+            if OUT.endswith("flat_plate_cf.npz"):
+                OUT = OUT.replace("flat_plate_cf.npz",
+                                  f"flat_plate_cf_{'ml' if v == 'mixing_length' else v}.npz")
         else:
             CFG[k] = float(v)
     t0 = time.time()

@@ -90,6 +90,38 @@ def test_sharded_sphere3d_matches_single_device():
     del res_ref
 
 
+@pytest.mark.slow   # interpret-mode Pallas kernels on CPU; the core
+# 2D parity test above stays in the fast tier
+def test_sharded_sphere3d_cs_matches_single_device(monkeypatch):
+    """Channel-split production path under the sharded runtime (VERDICT
+    r4 item 1): per-device Pallas RHS + per-device BlockedBC(cs) must
+    match the single-chip cs march.  Both sides run the same
+    interpret-mode kernels, so the only difference is the decomposition:
+    tolerance is float-tight, like test_cs_step."""
+    from ibx.cases.sphere3d_block_sharded import build_sphere3d_block_sharded
+
+    monkeypatch.setenv("IBX_CS", "1")   # single-chip side: force cs on CPU
+    sbd, step, P0_sh, case = build_sphere3d_block_sharded(
+        8, wall_h=0.25, surface_h=0.35, use_cs=True)
+    assert sbd.cs_eligible()
+    assert len(sbd.offs) >= 1
+    np.testing.assert_array_equal(sbd.collect(P0_sh), np.asarray(case.P0))
+
+    P_dev = np.asarray(case.march(case.P0, 20))
+    P_sh = sbd.distribute(P_dev)
+    P_ref = jnp.asarray(P_dev)
+    for _ in range(2):
+        P_sh, res_sh = step(P_sh)
+        P_ref, _ = case.step(P_ref)
+    out = sbd.collect(P_sh)
+    ref = np.asarray(P_ref)
+    assert np.isfinite(out).all()
+    scale = np.abs(ref).max(axis=0)
+    err = (np.abs(out - ref) / scale).max()
+    assert err < 1e-5, f"cs sharded-vs-single mismatch {err}"
+    assert np.isfinite(float(res_sh))
+
+
 @pytest.mark.slow   # 3-9 min each on the 1-CPU box; the core
 # 2D parity test above stays in the fast tier
 def test_sharded_overlap_matches_single_device():
