@@ -155,6 +155,17 @@ def build_flat_plate(
         closure=closure,
         # wall = the domain floor: wall distance is the y coordinate
         wall_distance=np.asarray(dom.centers)[:, 1].astype(np.float32),
+        # outer mixing-length cutoff l_max = 0.09 delta(x) with the
+        # standard turbulent flat-plate thickness delta = 0.37 x
+        # Re_x^{-1/5}: without it l ~ kappa y keeps growing above the
+        # layer and outer shear noise diffuses momentum without bound
+        # (measured drift -5% -> -24% between 8k and 30k steps)
+        mixing_length_cap=(
+            0.09 * 0.37
+            * np.maximum(np.asarray(dom.centers)[:, 0], 1e-3)
+            * (reynolds * np.maximum(np.asarray(dom.centers)[:, 0], 1e-3))
+            ** -0.2
+        ).astype(np.float32),
     )
 
     P0 = np.tile(P_inf, (dom.ncells, 1))

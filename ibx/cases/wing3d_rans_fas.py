@@ -70,6 +70,7 @@ class Wing3dCase:
     step: Callable       # jitted (S_sh,) -> (S_sh, res) (one RK2 step)
     S0_sh: jnp.ndarray   # sharded fused [P, chunk, bs.., nch+1] state
     collect: Callable    # sharded -> global flat numpy
+    res_norms: Callable = None  # jitted (S_sh,) -> (l2, max) of dt*R
 
 
 def build_wing3d_rans_fas(
@@ -287,6 +288,27 @@ def build_wing3d_rans_fas(
         S2, res = raw_smooth(S_sh, active_sh)
         return S2, res[0]
 
+    def sharded_resnorm(ctx, S_own, active_own):
+        """Pseudo-time update norms: L2 and max of dt*R over solved
+        cells — the convergence functional (a raw-RHS max-norm is pinned
+        by the smallest near-wall cells and hides field convergence)."""
+        loc = ctx.exchange(S_own)
+        R, T, dt = rans_rhs_grid(ctx.bt, fluid, loc, cfl=cfl,
+                                 high_order=high_order)
+        dt = jnp.where(active_own > 0, ctx.own(dt), 0.0)
+        r = jnp.concatenate(
+            [ctx.own(R), ctx.own(T)[..., None]], axis=-1) * dt[..., None]
+        l2 = ctx.psum((r.astype(jnp.float32) ** 2).sum())
+        mx = ctx.pmax(jnp.abs(r).max())
+        return jnp.sqrt(l2), mx
+
+    raw_rn = sbd.shard_fn(sharded_resnorm)
+
+    @jax.jit
+    def res_norms(S_sh):
+        l2, mx = raw_rn(S_sh, active_sh)
+        return l2[0], mx[0]
+
     # ---- initial state -----------------------------------------------------
     S0 = np.concatenate([
         np.tile(P_inf, (dom.ncells, 1)),
@@ -307,5 +329,5 @@ def build_wing3d_rans_fas(
     return Wing3dCase(
         dom=dom, sbd=sbd, fluid=fluid, P_inf=P_inf, Rt_inf=Rt_inf,
         march=march, fas_cycle=fas_cycle, step=step, S0_sh=S0_sh,
-        collect=sbd.collect,
+        collect=sbd.collect, res_norms=res_norms,
     )

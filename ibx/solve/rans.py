@@ -38,7 +38,8 @@ class RansMarch:
 
 
 def rans_rhs_grid(bt, fluid, S3, *, cfl: float, high_order: bool = True,
-                  closure: str = "wray_agarwal", d_wall3=None):
+                  closure: str = "wray_agarwal", d_wall3=None,
+                  l_cap3=None):
     """RANS right-hand side on the block-grid state.
 
     ``S3`` is the fused [B, bs.., nch+1] state ([p T u.. Rt]); works with
@@ -56,7 +57,12 @@ def rans_rhs_grid(bt, fluid, S3, *, cfl: float, high_order: bool = True,
     closure at +5%; the flag gives users accurate skin friction while
     the default preserves reference parity.  Requires ``d_wall3``
     (static wall distance, block grid [B, bs..]); the Rt channel is
-    frozen (T3 = 0).
+    frozen (T3 = 0).  ``l_cap3`` (optional, same shape): outer cutoff on
+    the mixing length, l = min(kappa d, l_cap) — without it the l ~ y
+    growth amplifies any outer-region shear noise into a huge eddy
+    viscosity that keeps thickening the layer (measured: the flat-plate
+    Cf error drifts from -5% at 8k steps to -24% at 30k uncapped; the
+    standard algebraic-model cutoff is l_max = 0.09 delta).
     """
     from ..ops.block_ops import (
         cell_gradient_grid,
@@ -80,7 +86,10 @@ def rans_rhs_grid(bt, fluid, S3, *, cfl: float, high_order: bool = True,
         vg0 = [[cell_gradient_grid(bt, P3[..., 2 + i:3 + i], j)[..., 0]
                 for j in range(nd)] for i in range(nd)]
         S0 = shear_rate(vg0)
-        nu_t3 = (0.41 * d_wall3) ** 2 * S0
+        l_mix = 0.41 * d_wall3
+        if l_cap3 is not None:
+            l_mix = jnp.minimum(l_mix, l_cap3)
+        nu_t3 = l_mix ** 2 * S0
         mu_t3 = rho3 * nu_t3[..., None]
         R_flow, dta, _ = euler_rhs_grid(
             bt, fluid, P3, with_dt=True, cfl=cfl,
@@ -196,13 +205,17 @@ def build_rans_march(
     dense_families: Optional[Sequence[str]] = None,
     closure: str = "wray_agarwal",
     wall_distance=None,          # f32[N], required for closure="mixing_length"
+    mixing_length_cap=None,      # f32[N] optional outer cutoff l_max
 ) -> RansMarch:
     part = dom.partitions[0]
     nd = dom.nd
     nch = 2 + nd
+    l_cap = None
     if closure == "mixing_length":
         assert wall_distance is not None, "mixing_length needs wall_distance"
         d_wall = jnp.asarray(wall_distance)
+        if mixing_length_cap is not None:
+            l_cap = jnp.asarray(mixing_length_cap)
 
     def apply_bcs(P, Rt):
         Rt2 = Rt[:, None]
@@ -220,7 +233,10 @@ def build_rans_march(
             vg0 = [[grad0[j][:, 2 + i] for j in range(nd)]
                    for i in range(nd)]
             S0 = shear_rate(vg0)
-            mu_t = rho * (0.41 * d_wall) ** 2 * S0
+            l0 = 0.41 * d_wall
+            if l_cap is not None:
+                l0 = jnp.minimum(l0, l_cap)
+            mu_t = rho * l0 ** 2 * S0
             R_flow = euler_rhs(part, fluid, P, high_order=high_order,
                                viscous=True, mu_t=mu_t)
             return R_flow, jnp.zeros_like(Rt)
@@ -258,7 +274,10 @@ def build_rans_march(
             grad0 = ops.cell_gradient(part, P)
             vg0 = [[grad0[j][:, 2 + i] for j in range(nd)]
                    for i in range(nd)]
-            nu_turb = (0.41 * d_wall) ** 2 * shear_rate(vg0)
+            l0 = 0.41 * d_wall
+            if l_cap is not None:
+                l0 = jnp.minimum(l0, l_cap)
+            nu_turb = l0 ** 2 * shear_rate(vg0)
         else:
             nu_turb = jnp.maximum(Rt, 0.0)
         nu_eff = dynamic_viscosity(fluid, P[:, 1]) / rho + nu_turb
@@ -299,6 +318,8 @@ def build_rans_march(
         active3 = jnp.asarray(to_blocks(bt, active[:, None])[..., 0])
         d_wall3 = (to_blocks(bt, d_wall[:, None])[..., 0]
                    if closure == "mixing_length" else None)
+        l_cap3 = (to_blocks(bt, l_cap[:, None])[..., 0]
+                  if l_cap is not None else None)
 
         def guard_b(g):
             return jnp.concatenate([
@@ -312,7 +333,7 @@ def build_rans_march(
         def rhs3(S):
             return rans_rhs_grid(bt, fluid, S, cfl=cfl,
                                  high_order=high_order, closure=closure,
-                                 d_wall3=d_wall3)
+                                 d_wall3=d_wall3, l_cap3=l_cap3)
 
         def one_step3(S3):
             return rans_rk2_grid(bt, fluid, S3, apply_bcs3, cfl=cfl,

@@ -42,8 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax                                                  # noqa: E402
 import jax.numpy as jnp                                     # noqa: E402
 
+# fas_verdict2d parses sys.argv at import time; shield it
+_argv, sys.argv = sys.argv, sys.argv[:1]
 import fas_verdict2d as fv                                  # noqa: E402
 from fas_verdict2d import build_case, build_fe              # noqa: E402
+sys.argv = _argv
 
 
 def norm(d):

@@ -28,6 +28,7 @@ Usage: python scripts/fas_verdict2d.py [wall_h=2e-2] [budget_s=120]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -176,7 +177,8 @@ def main():
     if "rk2_block" in ARMS:
         curves["rk2_block"] = run_rk2_arm(case, fe2)
 
-    out = f"/tmp/fas_verdict2d_curves_{WALL_H:g}.npz"
+    out = os.path.join(os.path.dirname(__file__), "..", "tests", "data",
+                       f"fas_verdict2d_{WALL_H:g}.npz")
     np.savez(out, **{k: np.asarray(v) for k, v in curves.items()})
     print(f"curves -> {out}", flush=True)
 
