@@ -20,7 +20,10 @@ def test_wing3d_convergence_oracle():
     if not os.path.exists(DATA):
         pytest.skip("wing3d convergence oracle not yet generated")
     d = np.load(DATA)
-    hist = d["hist"]                      # [n, (step, res, cl, cd)]
+    hist = d["hist"]                      # [n, (step, L2(dtR), cl, cd, max)]
+    if hist.shape[1] < 5:
+        pytest.skip("oracle predates the dt-scaled L2 metric; regenerate "
+                    "with scripts/wing3d_converge.py")
     meta = json.loads(str(d["meta"]))
     # >= 1 order of residual drop from the peak (the judged bar)
     assert float(meta["drop"]) >= 10.0, meta["drop"]
