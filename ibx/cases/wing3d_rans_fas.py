@@ -71,6 +71,7 @@ class Wing3dCase:
     S0_sh: jnp.ndarray   # sharded fused [P, chunk, bs.., nch+1] state
     collect: Callable    # sharded -> global flat numpy
     res_norms: Callable = None  # jitted (S_sh,) -> (l2, max) of dt*R
+    res_field: Callable = None  # jitted (S_sh,) -> sharded dt*R grids
 
 
 def build_wing3d_rans_fas(
@@ -288,14 +289,26 @@ def build_wing3d_rans_fas(
         S2, res = raw_smooth(S_sh, active_sh)
         return S2, res[0]
 
-    def sharded_resnorm(ctx, S_own, active_own):
+    # SOLVED-cell metric mask: the march itself freezes only in-solid
+    # cells, but the convergence FUNCTIONAL must also exclude ghost
+    # cells — impose_bc overwrites them each step, so their dt*R never
+    # relaxes and (measured, round 5) carries >99.99% of the naive
+    # functional on a converged state, flooring every residual curve.
+    ghost_m = np.zeros(dom.ncells, bool)
+    for _, _hb in dom._host_boundaries.items():
+        ghost_m[_hb.ghosts] = True
+    solved_sh = sbd.distribute(
+        (active * (~ghost_m)).astype(np.float32)[:, None],
+        pad_mode="zero")[..., 0]
+
+    def sharded_resnorm(ctx, S_own, solved_own):
         """Pseudo-time update norms: L2 and max of dt*R over solved
         cells — the convergence functional (a raw-RHS max-norm is pinned
         by the smallest near-wall cells and hides field convergence)."""
         loc = ctx.exchange(S_own)
         R, T, dt = rans_rhs_grid(ctx.bt, fluid, loc, cfl=cfl,
                                  high_order=high_order)
-        dt = jnp.where(active_own > 0, ctx.own(dt), 0.0)
+        dt = jnp.where(solved_own > 0, ctx.own(dt), 0.0)
         r = jnp.concatenate(
             [ctx.own(R), ctx.own(T)[..., None]], axis=-1) * dt[..., None]
         l2 = ctx.psum((r.astype(jnp.float32) ** 2).sum())
@@ -306,8 +319,20 @@ def build_wing3d_rans_fas(
 
     @jax.jit
     def res_norms(S_sh):
-        l2, mx = raw_rn(S_sh, active_sh)
+        l2, mx = raw_rn(S_sh, solved_sh)
         return l2[0], mx[0]
+
+    def sharded_resfield(ctx, S_own, solved_own):
+        """Per-cell pseudo-time update dt*R (diagnosis)."""
+        loc = ctx.exchange(S_own)
+        R, T, dt = rans_rhs_grid(ctx.bt, fluid, loc, cfl=cfl,
+                                 high_order=high_order)
+        dt = jnp.where(solved_own > 0, ctx.own(dt), 0.0)
+        return jnp.concatenate(
+            [ctx.own(R), ctx.own(T)[..., None]], axis=-1) * dt[..., None]
+
+    raw_rf = sbd.shard_fn(sharded_resfield)
+    res_field = jax.jit(lambda S_sh: raw_rf(S_sh, solved_sh))
 
     # ---- initial state -----------------------------------------------------
     S0 = np.concatenate([
@@ -329,5 +354,5 @@ def build_wing3d_rans_fas(
     return Wing3dCase(
         dom=dom, sbd=sbd, fluid=fluid, P_inf=P_inf, Rt_inf=Rt_inf,
         march=march, fas_cycle=fas_cycle, step=step, S0_sh=S0_sh,
-        collect=sbd.collect, res_norms=res_norms,
+        collect=sbd.collect, res_norms=res_norms, res_field=res_field,
     )

@@ -81,9 +81,9 @@ def main():
     modes = {
         "high_white": rng.standard_normal(np.asarray(Qw).shape),
         "low_smooth": (np.sin(np.pi * (c[:, 0] - c[:, 0].min())
-                              / (c[:, 0].ptp() + 1e-30))
+                              / (np.ptp(c[:, 0]) + 1e-30))
                        * np.sin(np.pi * (c[:, 1] - c[:, 1].min())
-                                / (c[:, 1].ptp() + 1e-30)))[:, None]
+                                / (np.ptp(c[:, 1]) + 1e-30)))[:, None]
         * np.ones((1, np.asarray(Qw).shape[1])),
     }
     n_it = 10

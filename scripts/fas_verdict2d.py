@@ -92,17 +92,40 @@ def build_fe(case, max_levels):
                     inside_fn=lambda c: points_inside(stl, c))
 
 
+_SOLVED_MASK = {}
+
+
+def solved_mask(fe):
+    """SOLVED-cell mask: excludes in-solid cells AND ghost cells of every
+    BC family.  Ghost cells are overwritten by ``impose_bc`` each step —
+    their dt*R never relaxes — and on a fully converged steady state they
+    carry >99.99% of the naive functional's energy (round-5 measurement,
+    fine-level oracle: L2 all = 3.1e5 vs L2 solved-only = 1.4e3).  Any
+    convergence metric that includes them is floored at its initial
+    value, which is exactly what the round-4 harness curves showed."""
+    dom = fe.domains[0]
+    key = id(dom)
+    if key not in _SOLVED_MASK:
+        import numpy as np
+        ghost = np.zeros(dom.ncells, bool)
+        for _, hb in dom._host_boundaries.items():
+            ghost[hb.ghosts] = True
+        m = (~ghost).astype(np.float32)
+        if fe.active[0] is not None:
+            m = m * np.asarray(fe.active[0])
+        _SOLVED_MASK[key] = jnp.asarray(m)
+    return _SOLVED_MASK[key]
+
+
 def res_l2(fe, Q):
-    """Common metric across arms: L2 of dt*R at fixed cfl 0.7 (NOT the
-    arm's own smoother map)."""
+    """Common metric across arms: L2 of dt*R over SOLVED cells at fixed
+    cfl 0.7 (NOT the arm's own smoother map; see `solved_mask`)."""
     from ibx.physics.fluid import physicality_guard, state2primitive
     from ibx.solve.euler import euler_rhs, local_timestep
     part = fe.domains[0].partitions[0]
     P = fe.bcs[0](physicality_guard(state2primitive(fe.fluid, Q)))
     R = euler_rhs(part, fe.fluid, P, high_order=fe.high_order)
-    dt = local_timestep(part, fe.fluid, P, 0.7)
-    if fe.active[0] is not None:
-        dt = dt * fe.active[0]
+    dt = local_timestep(part, fe.fluid, P, 0.7) * solved_mask(fe)
     r = R * dt[:, None]
     return float(jnp.sqrt((r.astype(jnp.float32) ** 2).sum()))
 
