@@ -62,6 +62,8 @@ class Sphere3dCase:
     march: Callable          # jitted (P, n_steps) -> P
     P0: jnp.ndarray
     apply_bcs: Callable
+    grid: dict = None        # block-path internals (bt, bbc, bc_fns,
+    #   apply_bcs_cs, active_cs when the cs march is active) for labs
 
 
 def build_sphere3d(
@@ -198,7 +200,14 @@ def build_sphere3d(
     P0[inside, 2:] = 0.0
     P0 = apply_bcs(jnp.asarray(P0))
 
+    grid = None
+    if use_blocks:
+        grid = dict(bt=bt, bbc=bbc, bc_fns=bc_fns, active3=active3,
+                    apply_bcs3=apply_bcs3)
+        if use_cs:
+            grid.update(apply_bcs_cs=apply_bcs_cs, active_cs=active_cs)
+
     return Sphere3dCase(
         dom=dom, fluid=fluid, P_inf=P_inf, mach=mach,
-        step=step, march=march, P0=P0, apply_bcs=apply_bcs,
+        step=step, march=march, P0=P0, apply_bcs=apply_bcs, grid=grid,
     )

@@ -626,10 +626,15 @@ def euler_rhs_cs(
     third return value is None.  ``with_frozen=True`` restores the
     pre-added ``du_cs`` and returns the corrected ``(du_cs, nu_cs)``
     (the frozen-limiter contract of `euler_rhs_grid_pallas`)."""
+    import os
+
     nd, bs, B = bt.nd, bt.block_size, bt.n_blocks
     ncomp = Pc.shape[1]
     du_cs, aux = run_kernel_a(bt, fluid, Pc, with_dt=with_dt)
-    fold = not with_frozen
+    # IBX_CS_FOLD=0 disables the in-kernel correction fold (A/B lever:
+    # the fold adds 12 per-(d,s) operand streams to pass B, which the
+    # layout assigner may pay for in relayout copies)
+    fold = not with_frozen and os.environ.get("IBX_CS_FOLD", "1") != "0"
     cols6 = None
     fixB = [None] * nd  # per-axis (side0, side1) channel-last du fixes
 
