@@ -24,6 +24,9 @@ def test_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow   # ~10 min measured: a second full dryrun in a fresh
+# subprocess; the in-process test above keeps the fast-tier coverage and
+# the driver itself runs this exact path every round
 def test_dryrun_multichip_driver_path():
     """Run the dryrun in a fresh subprocess WITHOUT the conftest env.
 

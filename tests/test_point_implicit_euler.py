@@ -11,6 +11,7 @@ from ibx.solve.point_implicit_euler import point_implicit_step
 from ibx.topology.blocks import build_block_tables
 
 
+@pytest.mark.slow   # ~8 min measured (round-5 durations)
 def test_point_implicit_euler_reduces_residual():
     case = build_rae2822(wall_h=8e-2, feature_h=4e-2, cfl=0.7)
     bt = build_block_tables(case.dom)
