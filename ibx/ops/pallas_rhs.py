@@ -631,10 +631,14 @@ def euler_rhs_cs(
     nd, bs, B = bt.nd, bt.block_size, bt.n_blocks
     ncomp = Pc.shape[1]
     du_cs, aux = run_kernel_a(bt, fluid, Pc, with_dt=with_dt)
-    # IBX_CS_FOLD=0 disables the in-kernel correction fold (A/B lever:
-    # the fold adds 12 per-(d,s) operand streams to pass B, which the
-    # layout assigner may pay for in relayout copies)
-    fold = not with_frozen and os.environ.get("IBX_CS_FOLD", "1") != "0"
+    # Correction placement A/B (round 5, scripts/cs_ab.py on the 5.3M
+    # bs=16 sphere): the in-kernel fold (12 extra per-(d,s) operand
+    # streams into pass B) measured 28.5 ms per RHS eval vs 24.0 for
+    # the streamed `_cols_add_cs` pre-add — the extra operand pipeline
+    # plus the layout flips it induces on `du_cs` cost more than the
+    # pre-add stream it saves.  Default is therefore the PRE-ADD path;
+    # IBX_CS_FOLD=1 re-enables the fold for future A/Bs.
+    fold = not with_frozen and os.environ.get("IBX_CS_FOLD", "0") == "1"
     cols6 = None
     fixB = [None] * nd  # per-axis (side0, side1) channel-last du fixes
 
