@@ -27,15 +27,16 @@ def main():
         from ibx.cases import build_sphere3d
 
         # 0.03 = the documented workload-4 resolution (BASELINE.md).
-        # Default block_size is 8 as of round 5 (VERDICT r4 item 3): the
-        # same wall resolution costs 3.2x fewer cells at the same
-        # per-cell rate (the octree wastes fewer cells per refinement
-        # band), i.e. ~3x better time-to-solution — and it avoids the
-        # documented deterministic TPU backend fault at [580, 16, 16, C]
-        # (CLAUDE.md relay notes). bs=16 remains available via
-        # IBX_BENCH_BLOCK_SIZE for cross-round comparability.
+        # block_size default SETTLED at 16 (VERDICT r4 item 3, decided on
+        # round-5 data): the round-3 "bs=8 = same per-cell rate" datum
+        # died with the Pallas cs kernels — their [C, bs, bs*bs] tiles
+        # half-fill the f32 (8, 128) vregs at bs=8 (measured 32.4M vs
+        # 90M+ at bs=16), so per-cell rate now favors bs=16 ~3x and
+        # time-to-solution at fixed wall_h is roughly a wash.  Both
+        # numbers are recorded in BASELINE.md; IBX_BENCH_BLOCK_SIZE=8
+        # selects the smaller-mesh config.
         wall_h = float(os.environ.get("IBX_BENCH_WALL_H", "0.03"))
-        block_size = int(os.environ.get("IBX_BENCH_BLOCK_SIZE", "8"))
+        block_size = int(os.environ.get("IBX_BENCH_BLOCK_SIZE", "16"))
         case = build_sphere3d(wall_h=wall_h, cfl=0.5, block_size=block_size)
     else:
         from ibx.cases import build_rae2822
@@ -108,16 +109,16 @@ def main():
             tag += f", sharded_1dev=err:{type(e).__name__}"
 
         # Driver-recorded 3D number (VERDICT r4 item 4): the default
-        # bench invocation also builds + marches the compact 3D sphere
-        # workload (bs=8: ~1.7M cells, ~2 min host build) so BENCH_r05
-        # carries the 3D throughput, not just BASELINE.md prose.
-        # IBX_BENCH_3D=0 skips it.
+        # bench invocation also builds + marches the 3D sphere workload
+        # (5.3M cells at bs=16 — the production 3D config, ~4 min host
+        # build) so BENCH_r05 carries the 3D throughput, not just
+        # BASELINE.md prose.  IBX_BENCH_3D=0 skips it.
         if os.environ.get("IBX_BENCH_3D", "1") != "0":
             try:
                 from ibx.cases import build_sphere3d
 
                 t0 = time.time()
-                c3 = build_sphere3d(wall_h=0.03, cfl=0.5, block_size=8)
+                c3 = build_sphere3d(wall_h=0.03, cfl=0.5, block_size=16)
                 b3 = time.time() - t0
                 P3 = c3.march(c3.P0, 2)
                 jax.block_until_ready(P3)
@@ -128,7 +129,7 @@ def main():
                 if not bool(np.isfinite(np.asarray(P3)).all()):
                     raise FloatingPointError("non-finite 3D state")
                 tag += (f", sphere3d={c3.dom.ncells * steps / el3 / 1e6:.1f}M"
-                        f" (cells={c3.dom.ncells}, bs=8, build={b3:.0f}s)")
+                        f" (cells={c3.dom.ncells}, bs=16, build={b3:.0f}s)")
             except Exception as e:           # pragma: no cover
                 tag += f", sphere3d=err:{type(e).__name__}"
 

@@ -41,6 +41,16 @@ from ..utils import pytree_dataclass
 _PIB = lax.GatherScatterMode.PROMISE_IN_BOUNDS
 
 
+def _take_mode():
+    """Take mode for wb/dense row gathers.  "clip" is REQUIRED for the
+    sharded stacked tables (their inert pads are deliberate OOB rows;
+    the default "fill" mode would inject NaN).  IBX_BC_CLIP=0 restores
+    the pre-round-5 default-mode lowering for single-chip A/Bs only."""
+    import os
+
+    return "clip" if os.environ.get("IBX_BC_CLIP", "1") != "0" else None
+
+
 def _concat_layer_update(blk, ax, bs, layers, side, new_plane):
     """Rebuild ``blk`` with the boundary layers' planes replaced, as ONE
     `concatenate` along ``ax`` instead of per-layer dynamic-update-slices
@@ -244,7 +254,7 @@ class BlockedBC:
         # reads clip to the last (dump) block and whose writes are
         # dropped by `_wb_scatter`; the default take mode fills NaN.
         buf = lax.optimization_barrier(
-            jnp.take(view, self.wb_blocks, axis=0, mode="clip"))
+            jnp.take(view, self.wb_blocks, axis=0, mode=_take_mode()))
         if int(self.ghosts.shape[0]) == 0:
             # every ghost went through the dense-plane path
             dense_new = [self._dense_values(buf, i, fns, guard)
@@ -344,7 +354,7 @@ class BlockedBC:
         npb = bs ** nd
         C = buf.shape[-1] // npb
         rows = self.dense_slot[i]
-        blk = jnp.take(buf, rows, axis=0, mode="clip")
+        blk = jnp.take(buf, rows, axis=0, mode=_take_mode())
         blk = blk.reshape((rows.shape[0],) + (bs,) * nd + (C,))
         ax = 1 + (nd - 1 - d)
         Pi = (w0 * lax.index_in_dim(blk, p0, axis=ax, keepdims=False)
@@ -371,7 +381,7 @@ class BlockedBC:
         C = buf.shape[-1] // npb
         rows = self.dense_slot[i]
         mask = self.dense_mask[i]
-        blk = jnp.take(buf, rows, axis=0, mode="clip")
+        blk = jnp.take(buf, rows, axis=0, mode=_take_mode())
         blk = blk.reshape((rows.shape[0],) + (bs,) * nd + (C,))
         ax = 1 + (nd - 1 - d)
 
@@ -427,7 +437,7 @@ class BlockedBC:
         npb = self.bs ** self.nd
         view = Pc.reshape(Pc.shape[0], C * npb)
         buf = lax.optimization_barrier(
-            jnp.take(view, self.wb_blocks, axis=0, mode="clip"))
+            jnp.take(view, self.wb_blocks, axis=0, mode=_take_mode()))
         if int(self.ghosts.shape[0]) == 0:
             dense_new = [self._dense_values_cs(buf, i, fns, guard)
                          for i in range(len(self.dense_spec))]
@@ -459,7 +469,7 @@ class BlockedBC:
         npb = bs ** nd
         C = buf.shape[-1] // npb
         rows = self.dense_slot[i]
-        blk = jnp.take(buf, rows, axis=0, mode="clip")
+        blk = jnp.take(buf, rows, axis=0, mode=_take_mode())
         blk = blk.reshape((rows.shape[0], C) + (bs,) * nd)
         ax = 2 + (nd - 1 - d)
         Pi = (w0 * lax.index_in_dim(blk, p0, axis=ax, keepdims=False)
@@ -492,7 +502,7 @@ class BlockedBC:
         C = buf.shape[-1] // npb
         rows = self.dense_slot[i]
         mask = self.dense_mask[i]
-        blk = jnp.take(buf, rows, axis=0, mode="clip")
+        blk = jnp.take(buf, rows, axis=0, mode=_take_mode())
         blk = blk.reshape((rows.shape[0], C) + (bs,) * nd)
         ax = 2 + (nd - 1 - d)
 

@@ -78,6 +78,15 @@ def main():
         return run_update(bt, fluid, Pc, Pc * 1e-30, None, dtb,
                           active_cs, 0.5)
 
+    only = os.environ.get("IBX_AB_ONLY", "")
+    if only == "bc":
+        for clip in ("1", "0"):
+            os.environ["IBX_BC_CLIP"] = clip
+            timeit(f"bc_only clip={clip}", bc_only)
+        for clip in ("1", "0"):
+            os.environ["IBX_BC_CLIP"] = clip
+            timeit(f"full_step clip={clip}", full_step)
+        return
     for fold in ("1", "0"):
         os.environ["IBX_CS_FOLD"] = fold
         timeit(f"full_step fold={fold}", full_step)
